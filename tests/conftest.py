@@ -1,0 +1,32 @@
+"""Test harness configuration.
+
+Forces the JAX CPU backend with 8 virtual devices so the entire suite --
+including multi-chip sharding tests -- runs on any machine without TPUs.
+Mirrors the reference's "tests are the dataset mains" gap (SURVEY.md section 4)
+by replacing it with a real unit/integration pyramid.
+"""
+
+import os
+
+# Must run before the first backend initialisation. Note: a sitecustomize on
+# this machine may import jax and register a TPU plugin before conftest runs,
+# so setting os.environ["JAX_PLATFORMS"] alone is not enough -- we also update
+# jax.config, which takes effect as long as no backend has been *used* yet.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
