@@ -1,0 +1,181 @@
+"""Frame-to-frame tracking: the motion-model odometry core.
+
+This is the first slice of the reference's Tracking state machine
+(Track() src/Tracking.cc:467; TrackWithMotionModel :1908; UpdateLastFrame
+:1802), built the TPU way: the per-frame work -- projection-windowed
+descriptor matching plus robust pose refinement -- is ONE jitted program
+(:func:`track_motion_model`) over static padded shapes. The host keeps only
+trivial bookkeeping (velocity, trajectory, retry logic), mirroring the
+reference's host-side state machine without its threads or locks.
+
+Map-based tracking (reference TrackLocalMap) layers on the same kernel with
+map points instead of last-frame points; see slam_map/.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SystemConfig
+from ..geometry import se3
+from ..geometry.camera import Camera, backproject, project, in_image
+from ..ops import hamming
+from ..solvers.pose_opt import PoseObs, PoseOptResult, optimize_pose
+from .features import FrameFeatures, ORBPipeline
+
+
+class TrackStepResult(NamedTuple):
+    Tcw: jax.Array
+    num_matches: jax.Array
+    num_inliers: jax.Array
+    inlier: jax.Array          # (K,) over last-frame rows
+    match_idx: jax.Array       # (K,) current-frame kp index per last-frame row
+
+
+@functools.partial(jax.jit, static_argnames=("max_dist",))
+def track_motion_model(
+    cam: Camera,
+    cur: FrameFeatures,
+    last: FrameFeatures,
+    last_Tcw: jax.Array,
+    T_pred: jax.Array,
+    radius: jax.Array,
+    max_dist: int = 100,
+) -> TrackStepResult:
+    """Match last frame's depth-backed keypoints into the current frame by
+    projection window, then run motion-only BA.
+
+    Equivalent contract to SearchByProjection(CurrentFrame, LastFrame, th)
+    (src/ORBmatcher.cc:1569) + PoseOptimization: rows are last-frame points,
+    columns are current keypoints; the 64x48 grid walk becomes a masked
+    distance matrix; scale-aware search radius rides the row mask.
+    """
+    # Last frame's keypoints with valid depth -> world points (UpdateLastFrame
+    # temporal points, src/Tracking.cc:1802).
+    has_depth = last.valid & (last.depth > 0.0)
+    pc_last = backproject(cam, last.xy_un, jnp.maximum(last.depth, 1e-3))
+    pts_w = se3.transform_points(se3.inv_T(last_Tcw), pc_last)
+
+    # Predicted pixel location in the current frame.
+    pc_pred = se3.transform_points(T_pred, pts_w)
+    uv_pred, z_pred = project(cam, pc_pred)
+    visible = has_depth & (z_pred > 0.05) & in_image(cam, uv_pred, border=16.0)
+
+    # Scale-aware window: radius grows with the keypoint's pyramid level
+    # (reference: th * mvScaleFactors[level]); scale = 1/sqrt(inv_sigma2).
+    level_scale = jax.lax.rsqrt(jnp.maximum(last.inv_sigma2, 1e-9))
+
+    # One Hamming matrix serves both passes -- only the window mask changes.
+    dist = hamming.hamming_matrix(last.desc, cur.desc)
+
+    def match_and_optimize(T_center, rad):
+        pc = se3.transform_points(T_center, pts_w)
+        uv, z = project(cam, pc)
+        vis = has_depth & (z > 0.05) & in_image(cam, uv, border=16.0)
+        wmask = hamming.window_mask(uv, cur.xy_un, rad * level_scale, vis, cur.valid)
+        res = hamming.match(
+            hamming.apply_mask(dist, wmask),
+            max_dist=max_dist,
+            mutual=True,
+            angle_q=last.kp.angle,
+            angle_t=cur.kp.angle,
+        )
+        j = jnp.maximum(res.idx, 0)
+        obs = PoseObs(
+            points_w=pts_w,
+            uv=cur.xy_un[j],
+            u_right=jnp.where(res.valid, cur.u_right[j], -1.0),
+            inv_sigma2=cur.inv_sigma2[j],
+            valid=res.valid,
+        )
+        return res, optimize_pose(T_center, cam, obs)
+
+    # Pass 1: window around the motion prediction. Pass 2: re-match with a
+    # tight window around the refined pose and re-optimize -- this breaks the
+    # "self-consistent aliased match set" failure mode when the constant-
+    # velocity prediction is off (the reference gets the same effect from
+    # TrackLocalMap re-searching after TrackWithMotionModel,
+    # src/Tracking.cc:688).
+    res1, opt1 = match_and_optimize(T_pred, radius)
+    res2, opt2 = match_and_optimize(opt1.Tcw, jnp.minimum(radius * 0.5, 5.0))
+
+    # Fall back to pass 1 if the tight re-match collapsed (e.g. bad pass-1
+    # pose throwing every window off).
+    use2 = opt2.num_inliers >= jnp.minimum(opt1.num_inliers, 20)
+    res, opt = jax.tree.map(
+        lambda a, b: jnp.where(use2, a, b), (res2, opt2), (res1, opt1)
+    )
+    return TrackStepResult(
+        Tcw=opt.Tcw,
+        num_matches=jnp.sum(res.valid.astype(jnp.int32)),
+        num_inliers=opt.num_inliers,
+        inlier=opt.inlier,
+        match_idx=res.idx,
+    )
+
+
+class RGBDOdometry:
+    """Host-side odometry loop (constant-velocity model, no map yet).
+
+    Grows into the full System/Tracking facade; per-frame device work is one
+    extraction program + one tracking program.
+    """
+
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.pipeline = ORBPipeline(cfg.orb, cfg.camera)
+        self.cam = self.pipeline.cam
+        self.last_feats: Optional[FrameFeatures] = None
+        self.last_Tcw = jnp.eye(4)
+        self.velocity = jnp.eye(4)
+        self.timestamps = []
+        self.poses_cw = []
+        self.stats = []
+        self.lost = False
+
+    def track(self, gray: np.ndarray, depth: np.ndarray, timestamp: float):
+        feats = self.pipeline.extract(
+            jnp.asarray(gray), depth_image=jnp.asarray(depth)
+        )
+        if self.last_feats is None:
+            Tcw = jnp.eye(4)
+            n_match = n_inl = 0
+        else:
+            T_pred = self.velocity @ self.last_Tcw
+            res = track_motion_model(
+                self.cam, feats, self.last_feats, self.last_Tcw, T_pred,
+                jnp.asarray(self.cfg.tracking.match_radius_motion),
+            )
+            n_match = int(res.num_matches)
+            n_inl = int(res.num_inliers)
+            if n_inl < self.cfg.tracking.min_matches_motion:
+                # widen the window and retry (reference doubles th and
+                # re-searches, src/Tracking.cc:1934-1944)
+                res = track_motion_model(
+                    self.cam, feats, self.last_feats, self.last_Tcw, T_pred,
+                    jnp.asarray(2.0 * self.cfg.tracking.match_radius_motion),
+                )
+                n_match = int(res.num_matches)
+                n_inl = int(res.num_inliers)
+            if n_inl >= 10:
+                Tcw = res.Tcw
+                self.velocity = Tcw @ se3.inv_T(self.last_Tcw)
+                self.lost = False
+            else:
+                # LOST: hold the last pose, drop the velocity model
+                # (reference transitions to LOST + relocalization,
+                # src/Tracking.cc:578; relocalization arrives with the map).
+                Tcw = self.last_Tcw
+                self.velocity = jnp.eye(4)
+                self.lost = True
+        self.last_feats = feats
+        self.last_Tcw = Tcw
+        self.timestamps.append(timestamp)
+        self.poses_cw.append(np.asarray(Tcw, np.float64))
+        self.stats.append({"matches": n_match, "inliers": n_inl})
+        return np.asarray(Tcw)

@@ -151,6 +151,19 @@ def inv_T(T: jax.Array) -> jax.Array:
     return make_T(Rt, -jnp.einsum("...ij,...j->...i", Rt, t, precision=_P))
 
 
+def orthonormalize(T: jax.Array) -> jax.Array:
+    """Project the rotation block of (...,4,4) back onto SO(3).
+
+    Quaternion roundtrip projection. Pose chains (velocity composition,
+    iterative left-multiplied updates) amplify any non-orthonormality
+    *exponentially* -- transpose-based inverses stop being inverses -- so
+    every solver entry point cleans its input pose. Float32 makes this
+    mandatory, not cosmetic.
+    """
+    R = quat_to_rotmat(rotmat_to_quat(T[..., :3, :3]))
+    return make_T(R, T[..., :3, 3])
+
+
 def transform_points(T: jax.Array, pts: jax.Array) -> jax.Array:
     """Apply (...,4,4) to points (...,N,3) -> (...,N,3)."""
     R = T[..., :3, :3]

@@ -1,0 +1,150 @@
+"""Synthetic RGB-D scene renderer (test/bench fixture).
+
+The reference validates end-to-end on TUM sequences it does not vendor
+(SURVEY.md section 4); this module provides a self-contained substitute: a
+textured axis-aligned "room" raycast at any camera pose, yielding (gray,
+depth) pairs with perfect ground truth. Pure NumPy on the host -- it is data
+generation, not framework compute.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+
+@dataclass
+class Plane:
+    """Axis-aligned textured rectangle.
+
+    axis: 0/1/2 -> the fixed coordinate (x/y/z = value).
+    bounds: (lo_a, hi_a, lo_b, hi_b) extents in the two free axes
+    (free axes in ascending order, e.g. axis=2 -> free (x, y)).
+    """
+
+    axis: int
+    value: float
+    bounds: Tuple[float, float, float, float]
+    texture: np.ndarray
+    tex_scale: float = 80.0  # texture pixels per world unit
+
+
+def _block_texture(rng, size=256, block=8, contrast=180.0):
+    """Multi-octave value noise: corner-dense yet locally *unique* texture.
+
+    A single-scale block pattern aliases -- every block corner looks like
+    every other, and projection-window matching locks onto the wrong one as
+    soon as the motion prediction overshoots. Mixing octaves makes each
+    neighborhood distinctive while keeping plenty of FAST corners.
+    """
+    from scipy.ndimage import zoom
+
+    tex = np.zeros((size, size))
+    for blk, weight in ((block // 2, 0.5), (block, 1.0), (block * 4, 1.5), (block * 16, 2.0)):
+        blk = max(blk, 2)
+        n = size // blk + 2
+        octave = zoom(rng.uniform(0, 1, (n, n)), blk, order=1)[:size, :size]
+        tex += weight * octave
+    tex -= tex.min()
+    tex *= contrast / max(tex.max(), 1e-6)
+    return np.clip(tex + 30.0, 0, 255).astype(np.float32)
+
+
+def default_room(seed: int = 0) -> List[Plane]:
+    rng = np.random.default_rng(seed)
+    return [
+        Plane(2, 5.0, (-4.0, 4.0, -3.0, 3.0), _block_texture(rng)),   # back wall
+        Plane(1, 1.6, (-4.0, 4.0, 0.0, 5.0), _block_texture(rng)),    # floor
+        Plane(1, -1.6, (-4.0, 4.0, 0.0, 5.0), _block_texture(rng)),   # ceiling
+        Plane(0, -2.5, (-3.0, 3.0, 0.0, 5.0), _block_texture(rng)),   # left wall
+        Plane(0, 2.5, (-3.0, 3.0, 0.0, 5.0), _block_texture(rng)),    # right wall
+        Plane(2, 3.0, (-0.8, 0.4, -0.6, 0.6), _block_texture(rng, block=6)),  # box face
+    ]
+
+
+def _sample_tex(tex, u, v, scale):
+    iu = np.mod(u * scale, tex.shape[1] - 1)
+    iv = np.mod(v * scale, tex.shape[0] - 1)
+    x0 = np.floor(iu).astype(np.int64)
+    y0 = np.floor(iv).astype(np.int64)
+    fx = iu - x0
+    fy = iv - y0
+    t00 = tex[y0, x0]
+    t01 = tex[y0, x0 + 1]
+    t10 = tex[y0 + 1, x0]
+    t11 = tex[y0 + 1, x0 + 1]
+    return (
+        t00 * (1 - fx) * (1 - fy)
+        + t01 * fx * (1 - fy)
+        + t10 * (1 - fx) * fy
+        + t11 * fx * fy
+    )
+
+
+def render(
+    planes: List[Plane],
+    Tcw: np.ndarray,
+    fx=535.4, fy=539.2, cx=320.1, cy=247.6,
+    width=640, height=480,
+):
+    """Raycast the scene from camera pose Tcw -> (gray, depth) float32."""
+    Twc = np.linalg.inv(Tcw)
+    Rwc, twc = Twc[:3, :3], Twc[:3, 3]
+    xs = (np.arange(width, dtype=np.float64) - cx) / fx
+    ys = (np.arange(height, dtype=np.float64) - cy) / fy
+    gx, gy = np.meshgrid(xs, ys)
+    dirs_c = np.stack([gx, gy, np.ones_like(gx)], axis=-1)      # z=1 rays
+    dirs_w = dirs_c @ Rwc.T                                      # (H,W,3)
+
+    best_t = np.full((height, width), np.inf)
+    gray = np.zeros((height, width), np.float32)
+
+    free_axes = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
+    for pl in planes:
+        a = pl.axis
+        fa, fb = free_axes[a]
+        dz = dirs_w[..., a]
+        safe = np.where(np.abs(dz) < 1e-9, 1e-9, dz)
+        t = (pl.value - twc[a]) / safe
+        pa = twc[fa] + t * dirs_w[..., fa]
+        pb = twc[fb] + t * dirs_w[..., fb]
+        lo_a, hi_a, lo_b, hi_b = pl.bounds
+        hit = (
+            (t > 0.05)
+            & (t < best_t)
+            & (pa >= lo_a) & (pa <= hi_a)
+            & (pb >= lo_b) & (pb <= hi_b)
+        )
+        if not hit.any():
+            continue
+        val = _sample_tex(pl.texture, pa[hit], pb[hit], pl.tex_scale)
+        gray[hit] = val.astype(np.float32)
+        best_t[hit] = t[hit]
+
+    depth = np.where(np.isfinite(best_t), best_t, 0.0).astype(np.float32)
+    return gray, depth
+
+
+def orbit_trajectory(n_frames: int, radius=0.25, advance=0.4, yaw_amp=0.06):
+    """Smooth test trajectory: gentle lateral sway + slow forward motion.
+
+    Returns a list of (4,4) float64 Tcw ground-truth poses.
+    """
+    from scipy.spatial.transform import Rotation as _R  # lazy; scipy is baked in
+
+    poses = []
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        tx = radius * np.sin(2 * np.pi * s)
+        ty = 0.08 * np.sin(4 * np.pi * s + 1.0)
+        tz = advance * s
+        yaw = yaw_amp * np.sin(2 * np.pi * s + 0.5)
+        pitch = 0.03 * np.sin(2 * np.pi * s * 2)
+        Rwc = _R.from_euler("yxz", [yaw, pitch, 0.0]).as_matrix()
+        Twc = np.eye(4)
+        Twc[:3, :3] = Rwc
+        Twc[:3, 3] = [tx, ty, tz]
+        poses.append(np.linalg.inv(Twc))
+    return poses

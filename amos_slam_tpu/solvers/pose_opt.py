@@ -150,6 +150,10 @@ def optimize_pose(
         inlier = ((chi2 <= delta2) & (depth_ok > 0)).astype(Tcw.dtype)
         return (Tcw, inlier), None
 
+    # Clean the input: iterative updates only left-multiply orthonormal exp
+    # factors, so an input rotation off SO(3) would survive the whole solve
+    # and compound across frames (see se3.orthonormalize).
+    Tcw0 = se3.orthonormalize(Tcw0)
     inlier0 = obs.valid.astype(Tcw0.dtype)
     (Tcw, inlier), _ = jax.lax.scan(
         round_body, (Tcw0, inlier0), None, length=rounds

@@ -1,0 +1,107 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from amos_slam_tpu.config import ORBConfig, CameraConfig
+from amos_slam_tpu.frontend.features import ORBPipeline
+from amos_slam_tpu.ops import hamming
+
+
+def make_texture(rng, h=480, w=640):
+    """Blocky random texture: lots of corners, scale structure."""
+    base = rng.uniform(0, 255, (h // 8, w // 8)).astype(np.float32)
+    img = np.kron(base, np.ones((8, 8), np.float32))
+    img += rng.uniform(0, 10, (h, w)).astype(np.float32)
+    return np.clip(img, 0, 255)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return ORBPipeline(ORBConfig(), CameraConfig())
+
+
+@pytest.fixture(scope="module")
+def texture():
+    return make_texture(np.random.default_rng(3))
+
+
+def test_extract_shapes_and_validity(pipeline, texture):
+    feats = pipeline.extract(jnp.asarray(texture))
+    K = pipeline.capacity
+    assert feats.desc.shape == (K, 256)
+    assert feats.desc.dtype == jnp.int8
+    v = np.asarray(feats.valid)
+    assert v.sum() > 400, v.sum()
+    # descriptors are bits
+    d = np.asarray(feats.desc)
+    assert set(np.unique(d)).issubset({0, 1})
+    # multiple pyramid levels fire
+    assert len(np.unique(np.asarray(feats.kp.level)[v])) >= 3
+
+
+def test_descriptors_deterministic(pipeline, texture):
+    f1 = pipeline.extract(jnp.asarray(texture))
+    f2 = pipeline.extract(jnp.asarray(texture))
+    np.testing.assert_array_equal(np.asarray(f1.desc), np.asarray(f2.desc))
+    np.testing.assert_array_equal(np.asarray(f1.kp.xy), np.asarray(f2.kp.xy))
+
+
+def test_matching_identical_images(pipeline, texture):
+    f = pipeline.extract(jnp.asarray(texture))
+    dist = hamming.hamming_matrix(f.desc, f.desc)
+    dist = hamming.apply_mask(dist, f.valid[:, None] & f.valid[None, :])
+    res = hamming.match(dist, max_dist=50, mutual=False)
+    v = np.asarray(f.valid)
+    idx = np.asarray(res.idx)
+    # each valid keypoint should match itself at distance 0
+    self_match = idx[v] == np.arange(len(v))[v]
+    assert self_match.mean() > 0.95
+
+
+def test_matching_translated_image(pipeline, texture):
+    shift = 12
+    img2 = np.roll(texture, shift, axis=1)
+    f1 = pipeline.extract(jnp.asarray(texture))
+    f2 = pipeline.extract(jnp.asarray(img2))
+    dist = hamming.hamming_matrix(f1.desc, f2.desc)
+    mask = hamming.window_mask(
+        # predicted location: shifted by `shift`
+        np.asarray(f1.kp.xy) + np.array([shift, 0.0], np.float32),
+        f2.kp.xy, 8.0, f1.valid, f2.valid,
+    )
+    res = hamming.match(hamming.apply_mask(dist, mask), max_dist=60, mutual=True)
+    matched = np.asarray(res.valid)
+    assert matched.sum() > 200, matched.sum()
+    # matched pairs should mostly differ by the known shift
+    xy1 = np.asarray(f1.kp.xy)[matched]
+    xy2 = np.asarray(f2.kp.xy)[np.asarray(res.idx)[matched]]
+    dx = xy2[:, 0] - xy1[:, 0]
+    good = np.abs(dx - shift) < 2.0
+    assert good.mean() > 0.9
+
+
+def test_suppress_mask_drops_keypoints(pipeline, texture):
+    kp, pyr, blurred = pipeline.detect_keypoints(jnp.asarray(texture))
+    mask = np.zeros((480, 640), np.uint8)
+    mask[:, :320] = 1  # left half "dynamic"
+    f = pipeline.describe(kp, blurred, None, jnp.asarray(mask))
+    v = np.asarray(f.valid)
+    xy = np.asarray(f.kp.xy)
+    assert (xy[v][:, 0] >= 319).all()
+    # and some keypoints survived on the right
+    assert v.sum() > 100
+
+
+def test_rgbd_depth_channels(pipeline, texture, rng):
+    depth = rng.uniform(0.5, 4.0, (480, 640)).astype(np.float32)
+    depth[:, :100] = 0.0  # invalid region
+    f = pipeline.extract(jnp.asarray(texture), depth_image=jnp.asarray(depth))
+    v = np.asarray(f.valid)
+    d = np.asarray(f.depth)
+    ur = np.asarray(f.u_right)
+    xy = np.asarray(f.xy_un)
+    has = v & (d > 0)
+    assert has.sum() > 200
+    np.testing.assert_allclose(
+        ur[has], xy[has][:, 0] - 40.0 / d[has], atol=1e-3
+    )
