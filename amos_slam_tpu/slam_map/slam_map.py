@@ -1,0 +1,375 @@
+"""Host-side map orchestration: covisibility, local windows, local mapping.
+
+This is the thin replacement for the reference's LocalMapping thread
+(src/LocalMapping.cc:73) and the Map/KeyFrame bookkeeping APIs. All numeric
+work happens in jitted kernels over the device-resident :class:`MapArrays`;
+the host keeps a numpy mirror of the observation table -- per-*keyframe*
+(not per-frame) bookkeeping, exactly the work the reference does under its
+map mutex, minus the mutex.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SystemConfig
+from ..geometry import se3
+from ..geometry.camera import Camera, project, in_image
+from ..ops import hamming
+from ..solvers.local_ba import BAProblem, solve_local_ba
+from ..solvers.pose_opt import PoseObs, optimize_pose
+from ..frontend.features import FrameFeatures
+from .map_state import (
+    MapArrays,
+    apply_ba_kernel,
+    bump_point_stats_kernel,
+    cull_points_kernel,
+    empty_map,
+    insert_keyframe_kernel,
+)
+
+
+class LocalView(NamedTuple):
+    """Gathered local-map snapshot used by TrackLocalMap (static size V)."""
+
+    ids: jax.Array       # (V,) landmark ids (-1 pad)
+    pos: jax.Array       # (V, 3)
+    desc: jax.Array      # (V, 256) int8
+    normal: jax.Array    # (V, 3)
+    min_dist: jax.Array  # (V,)
+    max_dist: jax.Array  # (V,)
+    valid: jax.Array     # (V,)
+
+
+class LocalMapTrackResult(NamedTuple):
+    Tcw: jax.Array
+    num_inliers: jax.Array
+    kp_point_id: jax.Array   # (N,) landmark id matched per frame keypoint (-1)
+    visible_ids: jax.Array   # (V,) ids predicted visible (-1 pad)
+    found_ids: jax.Array     # (V,) ids matched as inliers (-1 pad)
+
+
+@functools.partial(jax.jit, static_argnames=("max_dist",))
+def track_local_map(
+    cam: Camera,
+    cur: FrameFeatures,
+    view: LocalView,
+    Tcw0: jax.Array,
+    radius: jax.Array,
+    nn_ratio: float = 0.8,
+    max_dist: int = 100,
+) -> LocalMapTrackResult:
+    """Project local landmarks into the frame, match, optimize.
+
+    Contract of Tracking::TrackLocalMap + SearchLocalPoints
+    (src/Tracking.cc:1998, :2321): isInFrustum gates (depth in scale range,
+    viewing angle < 60 deg), scale-predicted search radius, ratio test,
+    then motion-only BA over all matches.
+    """
+    Twc = se3.inv_T(Tcw0)
+    cam_center = Twc[:3, 3]
+    pc = se3.transform_points(Tcw0, view.pos)
+    uv, z = project(cam, pc)
+    rel = view.pos - cam_center
+    dist = jnp.linalg.norm(rel, axis=-1)
+    cos_view = jnp.sum(rel * view.normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    visible = (
+        view.valid
+        & (z > 0.05)
+        & in_image(cam, uv, border=16.0)
+        & (dist >= 0.8 * view.min_dist)
+        & (dist <= 1.2 * view.max_dist)
+        & (cos_view > 0.5)
+    )
+
+    # Scale prediction (MapPoint::PredictScale, src/MapPoint.cc:551):
+    # level ~ log(max_dist / dist) / log(1.2) -> radius multiplier 1.2^level.
+    ratio = jnp.maximum(view.max_dist / jnp.maximum(dist, 1e-6), 1.0)
+    level = jnp.clip(
+        jnp.ceil(jnp.log(ratio) / jnp.log(1.2)), 0, 7
+    )
+    row_radius = radius * (1.2 ** level)
+
+    dmat = hamming.hamming_matrix(view.desc, cur.desc)
+    wmask = hamming.window_mask(uv, cur.xy_un, row_radius, visible, cur.valid)
+    res = hamming.match(
+        hamming.apply_mask(dmat, wmask),
+        max_dist=max_dist,
+        nn_ratio=nn_ratio,
+        mutual=True,
+    )
+
+    j = jnp.maximum(res.idx, 0)
+    obs = PoseObs(
+        points_w=view.pos,
+        uv=cur.xy_un[j],
+        u_right=jnp.where(res.valid, cur.u_right[j], -1.0),
+        inv_sigma2=cur.inv_sigma2[j],
+        valid=res.valid,
+    )
+    opt = optimize_pose(Tcw0, cam, obs)
+
+    # Per frame-keypoint landmark id: scatter-max over row->col matches
+    # (init -1; losers write -1, duplicate targets resolve deterministically).
+    N = cur.valid.shape[0]
+    inlier_match = res.valid & opt.inlier
+    kp_point = jnp.full((N,), -1, jnp.int32).at[
+        jnp.where(inlier_match, res.idx, 0)
+    ].max(jnp.where(inlier_match, view.ids, -1))
+
+    return LocalMapTrackResult(
+        Tcw=opt.Tcw,
+        num_inliers=opt.num_inliers,
+        kp_point_id=kp_point,
+        visible_ids=jnp.where(visible, view.ids, -1),
+        found_ids=jnp.where(inlier_match, view.ids, -1),
+    )
+
+
+class SlamMap:
+    """The map: device arrays + host bookkeeping mirror."""
+
+    def __init__(self, cfg: SystemConfig, cam: Camera):
+        self.cfg = cfg
+        self.cam = cam
+        N = cfg.orb.max_kpts
+        self.arrays = empty_map(cfg.map, N)
+        self.K = cfg.map.max_keyframes
+        self.M = cfg.map.max_points
+        self.N = N
+        self.V = cfg.tracking.max_map_points_local
+        # host mirrors
+        self.n_kfs = 0
+        self.n_pts = 0
+        self.kf_obs_np = np.full((self.K, N), -1, np.int64)   # mirror
+        self.kf_frame_id = np.full(self.K, -1, np.int64)
+        self.covis = np.zeros((self.K, self.K), np.int32)
+        self.pt_obs_count = np.zeros(self.M, np.int32)
+        self.pt_birth_kf = np.full(self.M, -1, np.int32)
+        self.pt_alive = np.zeros(self.M, bool)
+
+    # -- keyframe insertion ------------------------------------------------
+    def insert_keyframe(
+        self,
+        feats: FrameFeatures,
+        Tcw: jax.Array,
+        kp_point_id: np.ndarray,   # (N,) matched landmark per keypoint (-1)
+        frame_id: int,
+    ) -> int:
+        """Insert a keyframe; create landmarks for unmatched close-depth
+        keypoints (Tracking::CreateNewKeyFrame, src/Tracking.cc:2210)."""
+        assert self.n_kfs < self.K - 1, "keyframe capacity exhausted"
+        slot = self.n_kfs
+        self.n_kfs += 1
+        self.kf_frame_id[slot] = frame_id
+
+        valid = np.asarray(feats.valid)
+        depth = np.asarray(feats.depth)
+        close = depth > 0
+        matched = kp_point_id >= 0
+        create = valid & close & ~matched
+        n_new = int(create.sum())
+        cap = self.M - 1 - self.n_pts
+        if n_new > cap:   # drop farthest-first beyond capacity
+            idx = np.where(create)[0]
+            order = np.argsort(depth[idx])
+            create[:] = False
+            create[idx[order[:cap]]] = True
+            n_new = cap
+        new_ids = np.full(self.N, -1, np.int64)
+        new_ids[create] = self.n_pts + np.arange(n_new)
+        self.n_pts += n_new
+
+        self.arrays = insert_keyframe_kernel(
+            self.arrays,
+            jnp.asarray(slot, jnp.int32),
+            Tcw,
+            feats.xy_un,
+            feats.u_right,
+            feats.depth,
+            feats.inv_sigma2,
+            feats.kp.angle,
+            feats.kp.level,
+            feats.desc,
+            feats.valid,
+            jnp.asarray(kp_point_id.astype(np.int32)),
+            jnp.asarray(create),
+            jnp.asarray(new_ids.astype(np.int32)),
+            self.cam,
+            scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
+
+        # host mirror + covisibility
+        obs = np.where(valid, np.where(create, new_ids, kp_point_id), -1)
+        self.kf_obs_np[slot] = obs
+        created_ids = new_ids[create]
+        self.pt_alive[created_ids] = True
+        self.pt_birth_kf[created_ids] = slot
+        self.pt_obs_count[created_ids] = 1
+        seen = obs[matched & valid]
+        seen = seen[seen >= 0]
+        self.pt_obs_count[seen] += 1
+        self._update_covisibility(slot)
+        return slot
+
+    def _update_covisibility(self, slot: int):
+        """Shared-landmark counts vs all existing KFs (KeyFrame::
+        UpdateConnections, src/KeyFrame.cc:386) -- host numpy set math."""
+        mine = self.kf_obs_np[slot]
+        mine = set(mine[mine >= 0].tolist())
+        for k in range(self.n_kfs):
+            if k == slot:
+                continue
+            theirs = self.kf_obs_np[k]
+            w = len(mine.intersection(theirs[theirs >= 0].tolist()))
+            self.covis[slot, k] = self.covis[k, slot] = w
+
+    # -- local views ---------------------------------------------------------
+    def local_keyframes(self, ref_slot: int, max_kfs: int) -> np.ndarray:
+        """ref KF + best covisible neighbours, strongest first."""
+        if self.n_kfs == 0:
+            return np.zeros(0, np.int64)
+        w = self.covis[ref_slot, : self.n_kfs].copy()
+        order = np.argsort(-w)
+        neigh = [k for k in order if w[k] > 0][: max_kfs - 1]
+        return np.asarray([ref_slot] + neigh, np.int64)
+
+    def local_point_ids(self, kf_slots: np.ndarray) -> np.ndarray:
+        obs = self.kf_obs_np[kf_slots]
+        ids = np.unique(obs[obs >= 0])
+        return ids[self.pt_alive[ids]]
+
+    def local_view(self, ref_slot: int) -> LocalView:
+        """Gather the TrackLocalMap point set (UpdateLocalKeyFrames/Points,
+        src/Tracking.cc:2456/2418)."""
+        kfs = self.local_keyframes(ref_slot, self.cfg.map.local_window)
+        ids = self.local_point_ids(kfs)
+        V = self.V
+        if len(ids) > V:   # keep most-observed points
+            order = np.argsort(-self.pt_obs_count[ids])
+            ids = ids[order[:V]]
+        pad = V - len(ids)
+        ids_p = np.concatenate([ids, np.full(pad, -1, np.int64)])
+        gather = jnp.asarray(np.maximum(ids_p, 0).astype(np.int32))
+        a = self.arrays
+        return LocalView(
+            ids=jnp.asarray(ids_p.astype(np.int32)),
+            pos=a.pt_pos[gather],
+            desc=a.pt_desc[gather],
+            normal=a.pt_normal[gather],
+            min_dist=a.pt_min_dist[gather],
+            max_dist=a.pt_max_dist[gather],
+            valid=jnp.asarray(ids_p >= 0) & a.pt_valid[gather],
+        )
+
+    # -- local bundle adjustment ---------------------------------------------
+    def run_local_ba(self, center_slot: int):
+        """Local BA around ``center_slot`` (Optimizer::LocalBundleAdjustment
+        contract: covisible window free, frontier fixed)."""
+        Lw = self.cfg.map.local_window
+        Fw = self.cfg.map.fixed_window
+        window = self.local_keyframes(center_slot, Lw)
+        pt_ids = self.local_point_ids(window)
+        P = min(len(pt_ids), self.V)
+        if P == 0 or len(window) < 2:
+            return
+        if len(pt_ids) > P:
+            order = np.argsort(-self.pt_obs_count[pt_ids])
+            pt_ids = pt_ids[order[:P]]
+
+        # frontier: KFs observing local points but outside the window
+        inset = np.zeros(self.n_kfs, bool)
+        inset[window] = True
+        obs = self.kf_obs_np[: self.n_kfs]
+        pt_set = np.zeros(self.M, bool)
+        pt_set[pt_ids] = True
+        observes = (pt_set[np.maximum(obs, 0)] & (obs >= 0)).any(axis=1)
+        frontier = np.where(observes & ~inset)[0][:Fw]
+
+        slots = np.concatenate([window, frontier])
+        Kb = Lw + Fw
+        pad = Kb - len(slots)
+        slots_p = np.concatenate([slots, np.zeros(pad, np.int64)])
+        slot_valid = np.concatenate([np.ones(len(slots), bool), np.zeros(pad, bool)])
+        free = np.concatenate(
+            [np.ones(len(window), bool),
+             np.zeros(len(frontier) + pad, bool)]
+        )
+        # gauge: if nothing is fixed, fix the first window KF (reference
+        # fixes KF 0 via its frontier or the origin KF)
+        if len(frontier) == 0:
+            free[0] = False
+
+        # remap landmark ids -> local indices
+        remap = np.full(self.M, -1, np.int64)
+        remap[pt_ids] = np.arange(len(pt_ids))
+        obs_local = remap[np.maximum(self.kf_obs_np[slots_p], 0)]
+        obs_local[self.kf_obs_np[slots_p] < 0] = -1
+        obs_local[~slot_valid] = -1
+
+        Vp = self.V
+        pt_pad = Vp - len(pt_ids)
+        pt_ids_p = np.concatenate([pt_ids, np.full(pt_pad, -1, np.int64)])
+        gather_pts = jnp.asarray(np.maximum(pt_ids_p, 0).astype(np.int32))
+
+        a = self.arrays
+        slots_j = jnp.asarray(slots_p.astype(np.int32))
+        prob = BAProblem(
+            kf_pose=a.kf_pose[slots_j],
+            kf_free=jnp.asarray(free),
+            kf_valid=jnp.asarray(slot_valid),
+            points=a.pt_pos[gather_pts],
+            point_valid=jnp.asarray(pt_ids_p >= 0) & a.pt_valid[gather_pts],
+            obs_point=jnp.asarray(obs_local.astype(np.int32)),
+            obs_uv=a.kf_xy[slots_j],
+            obs_ur=a.kf_ur[slots_j],
+            obs_inv_sigma2=a.kf_inv_sigma2[slots_j],
+            obs_valid=a.kf_kp_valid[slots_j] & jnp.asarray(obs_local >= 0),
+        )
+        res = solve_local_ba(self.cam, prob)
+        self.arrays = apply_ba_kernel(
+            self.arrays,
+            slots_j,
+            jnp.asarray(free & slot_valid),
+            res.kf_pose,
+            jnp.asarray(pt_ids_p.astype(np.int32)),
+            res.points,
+        )
+
+    # -- maintenance -----------------------------------------------------------
+    def bump_stats(self, visible_ids: jax.Array, found_ids: jax.Array):
+        self.arrays = bump_point_stats_kernel(self.arrays, visible_ids, found_ids)
+
+    def cull_points(self):
+        """Reference MapPointCulling: drop landmarks with found/visible < 0.25
+        or stuck at <=2 observations several KFs after creation."""
+        vis = np.array(self.arrays.pt_visible)
+        fnd = np.array(self.arrays.pt_found)
+        alive = self.pt_alive.copy()
+        alive_ids = np.where(alive)[0]
+        if len(alive_ids) == 0:
+            return
+        ratio_bad = (vis[alive_ids] > 4) & (
+            fnd[alive_ids] < 0.25 * np.maximum(vis[alive_ids], 1)
+        )
+        stale = (self.pt_obs_count[alive_ids] <= 2) & (
+            self.pt_birth_kf[alive_ids] <= self.n_kfs - 4
+        )
+        cull = alive_ids[ratio_bad | stale]
+        if len(cull) == 0:
+            return
+        self.pt_alive[cull] = False
+        pad = -np.ones((-len(cull)) % 256, np.int64)   # pad to a stable shape
+        cull_p = np.concatenate([cull, pad])
+        self.arrays = cull_points_kernel(
+            self.arrays, jnp.asarray(cull_p.astype(np.int32))
+        )
+        # host mirror: erase observations
+        hit = np.isin(self.kf_obs_np, cull)
+        self.kf_obs_np[hit] = -1

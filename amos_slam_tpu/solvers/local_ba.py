@@ -1,0 +1,256 @@
+"""Local bundle adjustment with Schur-complement landmark elimination.
+
+TPU-native replacement for g2o's BlockSolver_6_3 + LM pipeline as used by
+Optimizer::LocalBundleAdjustment (reference src/Optimizer.cc:629: covisible
+KFs free, frontier KFs fixed, 5 LM iterations, chi2 pruning, 10 more).
+
+Design (SURVEY.md section 2b "g2o -> batched GN"):
+* The problem is a static padded structure: K camera slots (free mask),
+  M landmark slots, and per-camera observation tables of width O. No graphs,
+  no pointers -- validity masks carry the sparsity.
+* Per-observation residuals/Jacobians (3x6 camera, 3x3 point; mono rows
+  masked) are built in one fused pass.
+* Hessian blocks assemble with einsums + segment_sum; the landmark block
+  Hll is 3x3-batched-inverted; the reduced camera system
+  S = Hcc - W Hll^-1 W^T is a (6K, 6K) dense matrix formed by one
+  'kpij,lpkj->klik'-shaped einsum over landmarks -- exactly the blocked
+  MXU contraction the hardware wants.
+* Fixed cameras are handled by identity-row masking of S, so gauge freedom
+  and the reference's fixed-frontier semantics come for free.
+* LM with fixed trip counts under lax.scan; chi2-based outlier down-weighting
+  between phases mirrors the reference's prune-and-reoptimize.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..geometry.camera import Camera
+from .robust import CHI2_MONO, CHI2_STEREO, huber_weight
+
+_P = jax.lax.Precision.HIGHEST
+
+
+class BAProblem(NamedTuple):
+    """Padded local-BA problem.
+
+    kf_pose: (K, 4, 4) initial Tcw per camera slot.
+    kf_free: (K,) bool -- free to optimize (False = fixed frontier / padding).
+    kf_valid: (K,) bool -- slot holds a real camera.
+    points: (M, 3) initial world points.
+    point_valid: (M,) bool.
+    obs_point: (K, O) int32 index into points (-1 / anything with
+               obs_valid=False is ignored).
+    obs_uv: (K, O, 2) undistorted pixel observations.
+    obs_ur: (K, O) right-image u (<0 = mono observation).
+    obs_inv_sigma2: (K, O) information scale.
+    obs_valid: (K, O) bool.
+    """
+
+    kf_pose: jax.Array
+    kf_free: jax.Array
+    kf_valid: jax.Array
+    points: jax.Array
+    point_valid: jax.Array
+    obs_point: jax.Array
+    obs_uv: jax.Array
+    obs_ur: jax.Array
+    obs_inv_sigma2: jax.Array
+    obs_valid: jax.Array
+
+
+class BAResult(NamedTuple):
+    kf_pose: jax.Array
+    points: jax.Array
+    obs_inlier: jax.Array   # (K, O) bool final chi2 classification
+    mean_chi2: jax.Array    # () mean inlier chi2 (diagnostic)
+
+
+def _residuals(cam: Camera, pose: jax.Array, points: jax.Array, prob: BAProblem):
+    """r (K,O,3), Jc (K,O,3,6), Jp (K,O,3,3), chi2 (K,O), stereo mask."""
+    pidx = jnp.clip(prob.obs_point, 0, points.shape[0] - 1)
+    X = points[pidx]                                   # (K, O, 3)
+    R = pose[:, None, :3, :3]
+    t = pose[:, None, :3, 3]
+    pc = jnp.einsum("koij,koj->koi", jnp.broadcast_to(R, X.shape[:2] + (3, 3)), X,
+                    precision=_P) + t
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    z_safe = jnp.maximum(z, 1e-6)
+    inv_z = 1.0 / z_safe
+    inv_z2 = inv_z * inv_z
+
+    u = cam.fx * x * inv_z + cam.cx
+    v = cam.fy * y * inv_z + cam.cy
+    ur = u - cam.bf * inv_z
+    is_stereo = prob.obs_ur >= 0.0
+
+    r = jnp.stack(
+        [
+            prob.obs_uv[..., 0] - u,
+            prob.obs_uv[..., 1] - v,
+            jnp.where(is_stereo, prob.obs_ur - ur, 0.0),
+        ],
+        axis=-1,
+    )
+
+    zero = jnp.zeros_like(z)
+    du = jnp.stack([cam.fx * inv_z, zero, -cam.fx * x * inv_z2], -1)
+    dv = jnp.stack([zero, cam.fy * inv_z, -cam.fy * y * inv_z2], -1)
+    dur = du + jnp.stack([zero, zero, cam.bf * inv_z2], -1)
+    dproj = jnp.stack([du, dv, dur], axis=-2)          # (K,O,3,3) d(uvr)/d(pc)
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), pc.shape[:2] + (3, 3))
+    dpc_dxi = jnp.concatenate([eye, -se3.hat(pc)], axis=-1)   # (K,O,3,6)
+    Jc = -jnp.einsum("koij,kojl->koil", dproj, dpc_dxi, precision=_P)
+    # d(pc)/d(X) = R
+    Jp = -jnp.einsum("koij,kojl->koil", dproj,
+                     jnp.broadcast_to(R, X.shape[:2] + (3, 3)), precision=_P)
+
+    row_mask = jnp.stack(
+        [jnp.ones_like(z), jnp.ones_like(z), is_stereo.astype(z.dtype)], -1
+    )
+    depth_ok = z > 1e-3
+    r = r * row_mask
+    Jc = Jc * row_mask[..., None]
+    Jp = Jp * row_mask[..., None]
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+    return r, Jc, Jp, chi2, is_stereo, depth_ok
+
+
+def solve_local_ba(
+    cam: Camera,
+    prob: BAProblem,
+    iters_phase1: int = 5,
+    iters_phase2: int = 10,
+    lam0: float = 1e-4,
+) -> BAResult:
+    K, O = prob.obs_valid.shape
+    M = prob.points.shape[0]
+
+    base_valid = (
+        prob.obs_valid
+        & prob.kf_valid[:, None]
+        & prob.point_valid[jnp.clip(prob.obs_point, 0, M - 1)]
+        & (prob.obs_point >= 0)
+    )
+
+    def lm_iter(carry, _):
+        pose, points, lam, inlier = carry
+        r, Jc, Jp, chi2, is_stereo, depth_ok = _residuals(cam, pose, points, prob)
+        delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+        w = (
+            huber_weight(chi2, delta2)
+            * prob.obs_inv_sigma2
+            * inlier
+            * base_valid
+            * depth_ok
+        )
+
+        Jcw = Jc * w[..., None, None]
+        Jpw = Jp * w[..., None, None]
+        # camera blocks
+        Hcc = jnp.einsum("kodi,kodj->kij", Jcw, Jc, precision=_P)   # (K,6,6)
+        bc = jnp.einsum("kodi,kod->ki", Jcw, r, precision=_P)       # (K,6)
+        # landmark blocks via segment-sum over point ids
+        pidx = jnp.clip(prob.obs_point, 0, M - 1)
+        flat_pidx = pidx.reshape(-1)
+        Hll_blocks = jnp.einsum("kodi,kodj->koij", Jpw, Jp, precision=_P)
+        bl_blocks = jnp.einsum("kodi,kod->koi", Jpw, r, precision=_P)
+        Hll = jax.ops.segment_sum(
+            Hll_blocks.reshape(-1, 3, 3), flat_pidx, num_segments=M
+        )
+        bl = jax.ops.segment_sum(
+            bl_blocks.reshape(-1, 3), flat_pidx, num_segments=M
+        )
+        # camera-landmark coupling, dense over (K, M): one segment_sum per cam
+        Hcl_blocks = jnp.einsum("kodi,kodj->koij", Jcw, Jp, precision=_P)
+        Hcl = jax.vmap(
+            lambda blocks, ids: jax.ops.segment_sum(blocks, ids, num_segments=M)
+        )(Hcl_blocks, pidx)                                         # (K,M,6,3)
+
+        # damp + invert landmark blocks
+        dl = jnp.diagonal(Hll, axis1=-2, axis2=-1)
+        Hll_d = Hll + jnp.eye(3) * (lam * jnp.maximum(dl, 1e-9) + 1e-9)[..., None, :]
+        Hll_inv = jnp.linalg.inv(Hll_d)                             # (M,3,3)
+
+        # Schur complement: S = Hcc_diag - W Hll^-1 W^T  (blocked einsum)
+        W = jnp.einsum("kmij,mjl->kmil", Hcl, Hll_inv, precision=_P)  # (K,M,6,3)
+        S_off = -jnp.einsum("kmij,lmoj->kloi", W, Hcl, precision=_P)
+        # ^ (K,L,6,6) with axes (k,l,row,col): note einsum output order kloi
+        S_off = jnp.transpose(S_off, (0, 1, 3, 2))
+        dc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
+        Hcc_d = Hcc + jnp.eye(6) * (lam * jnp.maximum(dc, 1e-9) + 1e-9)[..., None, :]
+        S = S_off.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
+        # Normal equations are H dx = -g with g = J^T W r (r = obs - proj,
+        # J = dr/dx): reduced rhs = -(bc - W bl).
+        rhs_c = jnp.einsum("kmij,mj->ki", W, bl, precision=_P) - bc
+
+        # fixed cameras: identity rows/cols, zero rhs
+        free = (prob.kf_free & prob.kf_valid).astype(S.dtype)
+        fmask = free[:, None, None, None] * free[None, :, None, None]
+        S = S * fmask
+        S = S.at[jnp.arange(K), jnp.arange(K)].add(
+            jnp.eye(6) * (1.0 - free)[:, None, None]
+        )
+        rhs_c = rhs_c * free[:, None]
+
+        # dense solve of the reduced camera system
+        S_dense = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+        rhs = rhs_c.reshape(6 * K)
+        L, low = jax.scipy.linalg.cho_factor(S_dense, lower=True)
+        dxc = jax.scipy.linalg.cho_solve((L, low), rhs)
+        dxc = jnp.where(jnp.isfinite(dxc), dxc, 0.0).reshape(K, 6)
+
+        # back-substitute landmarks: dxl = Hll^-1 (-bl - Hcl^T dxc)
+        WTdx = jnp.einsum("kmij,ki->mj", Hcl, dxc, precision=_P)
+        dxl = -jnp.einsum("mij,mj->mi", Hll_inv, bl + WTdx, precision=_P)
+        dxl = jnp.where(jnp.isfinite(dxl), dxl, 0.0)
+        # points with no observations must not move
+        has_obs = jax.ops.segment_sum(
+            (w.reshape(-1) > 0).astype(jnp.float32), flat_pidx, num_segments=M
+        ) > 0
+        dxl = dxl * (has_obs & prob.point_valid)[:, None]
+
+        pose_new = se3.se3_exp(dxc) @ pose
+        pose_new = jnp.where(free[:, None, None] > 0, pose_new, pose)
+        points_new = points + dxl
+
+        # accept/reject on total robust cost
+        _, _, _, chi2_new, _, _ = _residuals(cam, pose_new, points_new, prob)
+        m = inlier * base_valid
+        cost = jnp.sum(jnp.minimum(chi2, delta2 * 4) * m)
+        cost_new = jnp.sum(jnp.minimum(chi2_new, delta2 * 4) * m)
+        improved = cost_new < cost
+        pose = jnp.where(improved, pose_new, pose)
+        points = jnp.where(improved, points_new, points)
+        lam = jnp.clip(jnp.where(improved, lam * 0.5, lam * 4.0), 1e-8, 1e4)
+        return (pose, points, lam, inlier), cost
+
+    pose0 = se3.orthonormalize(prob.kf_pose)
+    inl0 = base_valid.astype(pose0.dtype)
+    carry = (pose0, prob.points, jnp.asarray(lam0, pose0.dtype), inl0)
+    carry, _ = jax.lax.scan(lm_iter, carry, None, length=iters_phase1)
+
+    # prune: recompute chi2, drop outliers (reference Optimizer.cc:629 does
+    # exactly this between its 5- and 10-iteration phases)
+    pose, points, lam, _ = carry
+    _, _, _, chi2, is_stereo, depth_ok = _residuals(cam, pose, points, prob)
+    delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    inlier = ((chi2 <= delta2) & depth_ok & base_valid).astype(pose.dtype)
+    carry = (pose, points, jnp.asarray(lam0, pose.dtype), inlier)
+    carry, _ = jax.lax.scan(lm_iter, carry, None, length=iters_phase2)
+
+    pose, points, _, _ = carry
+    _, _, _, chi2, is_stereo, depth_ok = _residuals(cam, pose, points, prob)
+    delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    final_inlier = (chi2 <= delta2) & depth_ok & base_valid
+    mean_chi2 = jnp.sum(jnp.where(final_inlier, chi2, 0.0)) / jnp.maximum(
+        jnp.sum(final_inlier), 1
+    )
+    return BAResult(
+        kf_pose=pose, points=points, obs_inlier=final_inlier, mean_chi2=mean_chi2
+    )

@@ -1,0 +1,168 @@
+"""System facade: the public API of the framework.
+
+Mirrors the reference's System class (src/System.cc:38-645: construction,
+TrackRGBD, Reset, Shutdown, SaveTrajectoryTUM/KITTI) and the sensor-agnostic
+Tracking state machine (src/Tracking.cc:467). The reference's 4 threads
+become: tracking = the caller's loop of jitted device programs; local
+mapping = jitted kernels dispatched at keyframe rate (JAX async dispatch
+overlaps them with subsequent tracking work); loop closing hooks in via
+loop/ (see that package).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import SystemConfig
+from .geometry import se3
+from .frontend.features import ORBPipeline, FrameFeatures
+from .frontend.tracking import track_motion_model
+from .slam_map.slam_map import SlamMap, track_local_map
+from .io import trajectory
+
+
+class TrackingState(enum.Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+class System:
+    """RGB-D SLAM system (stereo/mono arrive with their front ends).
+
+    Usage matches the reference:
+        slam = System(cfg)
+        for rgb, depth, t in frames:
+            Tcw = slam.track_rgbd(gray, depth, t)
+        slam.save_trajectory_tum("CameraTrajectory.txt")
+    """
+
+    def __init__(self, cfg: Optional[SystemConfig] = None):
+        self.cfg = cfg or SystemConfig()
+        self.pipeline = ORBPipeline(self.cfg.orb, self.cfg.camera)
+        self.cam = self.pipeline.cam
+        self.map = SlamMap(self.cfg, self.cam)
+
+        self.state = TrackingState.NOT_INITIALIZED
+        self.last_feats: Optional[FrameFeatures] = None
+        self.last_Tcw = jnp.eye(4)
+        self.velocity = jnp.eye(4)
+        self.ref_kf = 0
+        self.last_kf_frame = -999
+        self.last_kf_inliers = 0
+        self.frame_id = -1
+
+        self.timestamps = []
+        self.poses_cw = []
+        self.stats = []
+
+    # ------------------------------------------------------------------ api
+    def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float):
+        """One frame in, camera pose out (reference System::TrackRGBD)."""
+        self.frame_id += 1
+        feats = self.pipeline.extract(
+            jnp.asarray(gray), depth_image=jnp.asarray(depth)
+        )
+        if self.state is TrackingState.NOT_INITIALIZED:
+            Tcw = self._initialize(feats)
+        else:
+            Tcw = self._track(feats)
+
+        self.last_feats = feats
+        self.last_Tcw = Tcw
+        self.timestamps.append(timestamp)
+        self.poses_cw.append(np.asarray(Tcw, np.float64))
+        return np.asarray(Tcw)
+
+    def save_trajectory_tum(self, path: str):
+        trajectory.save_tum(path, self.timestamps, self.poses_cw)
+
+    def save_trajectory_kitti(self, path: str):
+        trajectory.save_kitti(path, self.poses_cw)
+
+    def shutdown(self):
+        """Block until all dispatched device work has drained."""
+        jax.block_until_ready(self.map.arrays)
+
+    # ------------------------------------------------------------- internals
+    def _initialize(self, feats: FrameFeatures) -> jax.Array:
+        """StereoInitialization (src/Tracking.cc:1343): first frame with
+        enough depth-valid keypoints becomes KF 0 + initial landmarks."""
+        n_depth = int(jnp.sum(feats.valid & (feats.depth > 0)))
+        if n_depth < 100:
+            self.stats.append({"matches": 0, "inliers": 0, "kf": False})
+            return jnp.eye(4)
+        Tcw = jnp.eye(4)
+        kp_point = np.full(self.cfg.orb.max_kpts, -1, np.int64)
+        self.ref_kf = self.map.insert_keyframe(feats, Tcw, kp_point, self.frame_id)
+        self.last_kf_frame = self.frame_id
+        self.last_kf_inliers = n_depth
+        self.state = TrackingState.OK
+        self.stats.append({"matches": n_depth, "inliers": n_depth, "kf": True})
+        return Tcw
+
+    def _track(self, feats: FrameFeatures) -> jax.Array:
+        tcfg = self.cfg.tracking
+        T_pred = self.velocity @ self.last_Tcw
+
+        # 1) motion-model tracking against the last frame
+        mm = track_motion_model(
+            self.cam, feats, self.last_feats, self.last_Tcw, T_pred,
+            jnp.asarray(tcfg.match_radius_motion),
+        )
+        n_mm = int(mm.num_inliers)
+        T0 = mm.Tcw if n_mm >= 10 else T_pred
+
+        # 2) local-map tracking (anchors drift to the map)
+        view = self.map.local_view(self.ref_kf)
+        lm = track_local_map(
+            self.cam, feats, view, T0,
+            jnp.asarray(tcfg.match_radius_map * 2.0),
+        )
+        n_lm = int(lm.num_inliers)
+
+        if n_lm >= tcfg.min_inliers_local_map:
+            Tcw = lm.Tcw
+            kp_point = np.array(lm.kp_point_id)
+            self.state = TrackingState.OK
+            self.map.bump_stats(lm.visible_ids, lm.found_ids)
+        elif n_mm >= 10:
+            Tcw = mm.Tcw
+            kp_point = np.full(self.cfg.orb.max_kpts, -1, np.int64)
+            self.state = TrackingState.OK
+        else:
+            # LOST: hold pose (relocalization arrives with loop/ package)
+            self.state = TrackingState.LOST
+            self.velocity = jnp.eye(4)
+            self.stats.append({"matches": n_mm, "inliers": 0, "kf": False})
+            return self.last_Tcw
+
+        self.velocity = se3.orthonormalize(Tcw @ se3.inv_T(self.last_Tcw))
+
+        # 3) keyframe decision (NeedNewKeyFrame, src/Tracking.cc:2064)
+        need_kf = self.state is TrackingState.OK and (
+            (self.frame_id - self.last_kf_frame >= 30)
+            or (
+                self.frame_id - self.last_kf_frame >= 3
+                and n_lm < 0.75 * max(self.last_kf_inliers, 1)
+            )
+            or n_lm < 50
+        )
+        made_kf = False
+        if need_kf and n_lm >= tcfg.min_inliers_local_map:
+            self.ref_kf = self.map.insert_keyframe(
+                feats, Tcw, kp_point, self.frame_id
+            )
+            self.last_kf_frame = self.frame_id
+            self.last_kf_inliers = n_lm
+            self.map.run_local_ba(self.ref_kf)
+            self.map.cull_points()
+            made_kf = True
+
+        self.stats.append({"matches": n_mm, "inliers": n_lm, "kf": made_kf})
+        return Tcw
