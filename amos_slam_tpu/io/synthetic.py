@@ -64,6 +64,21 @@ def default_room(seed: int = 0) -> List[Plane]:
     ]
 
 
+def room_with_mover(seed: int = 0, t: float = 0.0, speed: float = 1.2):
+    """The default room plus one *moving* frontal plane (a stand-in for the
+    walking person in TUM fr3/walking): at time ``t`` (seconds) the plane
+    has translated ``speed * t`` in x. Returns (planes, mover_index)."""
+    rng = np.random.default_rng(seed + 77)
+    planes = default_room(seed)
+    x0 = -1.2 + speed * t
+    mover = Plane(
+        2, 2.6, (x0, x0 + 0.7, -1.1, 0.9),
+        _block_texture(rng, block=6), tex_scale=90.0,
+    )
+    planes.append(mover)
+    return planes, len(planes) - 1
+
+
 def _sample_tex(tex, u, v, scale):
     iu = np.mod(u * scale, tex.shape[1] - 1)
     iv = np.mod(v * scale, tex.shape[0] - 1)
@@ -88,8 +103,13 @@ def render(
     Tcw: np.ndarray,
     fx=535.4, fy=539.2, cx=320.1, cy=247.6,
     width=640, height=480,
+    return_ids: bool = False,
 ):
-    """Raycast the scene from camera pose Tcw -> (gray, depth) float32."""
+    """Raycast the scene from camera pose Tcw -> (gray, depth[, plane_ids]).
+
+    plane_ids: (H, W) int32, index into ``planes`` of the visible surface
+    (-1 = background). Used as a ground-truth instance mask when testing the
+    dynamic-rejection / segmentation stack."""
     Twc = np.linalg.inv(Tcw)
     Rwc, twc = Twc[:3, :3], Twc[:3, 3]
     xs = (np.arange(width, dtype=np.float64) - cx) / fx
@@ -100,9 +120,10 @@ def render(
 
     best_t = np.full((height, width), np.inf)
     gray = np.zeros((height, width), np.float32)
+    ids = np.full((height, width), -1, np.int32)
 
     free_axes = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
-    for pl in planes:
+    for pid, pl in enumerate(planes):
         a = pl.axis
         fa, fb = free_axes[a]
         dz = dirs_w[..., a]
@@ -122,8 +143,11 @@ def render(
         val = _sample_tex(pl.texture, pa[hit], pb[hit], pl.tex_scale)
         gray[hit] = val.astype(np.float32)
         best_t[hit] = t[hit]
+        ids[hit] = pid
 
     depth = np.where(np.isfinite(best_t), best_t, 0.0).astype(np.float32)
+    if return_ids:
+        return gray, depth, ids
     return gray, depth
 
 

@@ -22,6 +22,8 @@ from .config import SystemConfig
 from .geometry import se3
 from .frontend.features import ORBPipeline, FrameFeatures
 from .frontend.tracking import track_motion_model
+from .frontend.dynamics import compute_dynamics
+from .ops.slic import dilate_mask
 from .slam_map.slam_map import SlamMap, track_local_map
 from .io import trajectory
 
@@ -61,13 +63,36 @@ class System:
         self.poses_cw = []
         self.stats = []
 
+        # previous-frame state for the dynamic stage
+        self.prev_gray = None
+        self.prev_depth = None
+        self.prev_kp_xy = None
+        self.prev_kp_valid = None
+
     # ------------------------------------------------------------------ api
-    def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float):
-        """One frame in, camera pose out (reference System::TrackRGBD)."""
+    def track_rgbd(
+        self,
+        gray: np.ndarray,
+        depth: np.ndarray,
+        timestamp: float,
+        seg_mask: Optional[np.ndarray] = None,
+    ):
+        """One frame in, camera pose out (reference System::TrackRGBD).
+
+        seg_mask: optional (H, W) stage-1 semantic dynamic-object mask (the
+        reference's YOLACT person mask; see models/segmenter to produce one).
+        """
         self.frame_id += 1
-        feats = self.pipeline.extract(
-            jnp.asarray(gray), depth_image=jnp.asarray(depth)
+        g = jnp.asarray(gray)
+        d = jnp.asarray(depth)
+        seg = (
+            jnp.asarray(seg_mask).astype(bool)
+            if seg_mask is not None
+            else jnp.zeros(g.shape, bool)
         )
+
+        feats = self._extract_with_dynamics(g, d, seg, seg_mask is not None)
+
         if self.state is TrackingState.NOT_INITIALIZED:
             Tcw = self._initialize(feats)
         else:
@@ -75,9 +100,48 @@ class System:
 
         self.last_feats = feats
         self.last_Tcw = Tcw
+        self.prev_gray, self.prev_depth = g, d
         self.timestamps.append(timestamp)
         self.poses_cw.append(np.asarray(Tcw, np.float64))
         return np.asarray(Tcw)
+
+    def _extract_with_dynamics(self, g, d, seg, has_seg: bool) -> FrameFeatures:
+        """The Amos split pipeline: keypoints -> dynamic mask -> descriptors
+        (reference GrabImageRGBD, src/Tracking.cc:297-406)."""
+        dcfg = self.cfg.dynamics
+        kp, pyr, blurred = self.pipeline.detect_keypoints(g)
+        # flow sources for the NEXT frame's geometric stage: all detected
+        # corners of this frame, pre-suppression
+        kp_xy, kp_valid = kp.xy, kp.valid
+
+        suppress = None
+        if (
+            self.cfg.use_dynamics
+            and self.state is TrackingState.OK
+            and self.prev_gray is not None
+        ):
+            T_pred = se3.orthonormalize(self.velocity @ self.last_Tcw)
+            dyn = compute_dynamics(
+                self.cam,
+                self.prev_gray, self.prev_depth, g, d, seg,
+                self.last_Tcw, T_pred,
+                self.prev_kp_xy, self.prev_kp_valid,
+                jax.random.PRNGKey(self.frame_id),
+                epi_outlier_th=dcfg.epipolar_outlier_th,
+                mean_rpe_th=dcfg.mean_rpe_th,
+                flow3d_th=dcfg.flow3d_th,
+                n_clusters=dcfg.n_clusters,
+                slic_cell=dcfg.slic_cell,
+                slic_iters=dcfg.slic_iters,
+                dilate_radius=dcfg.mask_dilate_radius,
+                slic_compactness=dcfg.slic_compactness,
+            )
+            suppress = dyn.suppress_mask
+        elif has_seg:
+            suppress = dilate_mask(seg, dcfg.mask_dilate_radius)
+
+        self.prev_kp_xy, self.prev_kp_valid = kp_xy, kp_valid
+        return self.pipeline.describe(kp, blurred, d, suppress)
 
     def save_trajectory_tum(self, path: str):
         trajectory.save_tum(path, self.timestamps, self.poses_cw)
