@@ -44,11 +44,18 @@ class System:
         slam.save_trajectory_tum("CameraTrajectory.txt")
     """
 
-    def __init__(self, cfg: Optional[SystemConfig] = None):
+    def __init__(self, cfg: Optional[SystemConfig] = None, vocabulary=None):
         self.cfg = cfg or SystemConfig()
         self.pipeline = ORBPipeline(self.cfg.orb, self.cfg.camera)
         self.cam = self.pipeline.cam
         self.map = SlamMap(self.cfg, self.cam)
+        # Place recognition: a pretrained vocabulary can be supplied (see
+        # loop.vocab_io for ORBvoc.txt import); otherwise one is trained
+        # from the session's own early descriptors at the first keyframe --
+        # a session-local quantizer is sufficient for within-session
+        # relocalization and loop closure.
+        self._vocabulary = vocabulary
+        self.loop = None
 
         self.state = TrackingState.NOT_INITIALIZED
         self.last_feats: Optional[FrameFeatures] = None
@@ -167,8 +174,20 @@ class System:
         self.last_kf_frame = self.frame_id
         self.last_kf_inliers = n_depth
         self.state = TrackingState.OK
+        self._ensure_loop_closer(feats)
+        self.loop.on_keyframe(self.ref_kf)
         self.stats.append({"matches": n_depth, "inliers": n_depth, "kf": True})
         return Tcw
+
+    def _ensure_loop_closer(self, feats: FrameFeatures):
+        if self.loop is not None:
+            return
+        from .loop.loop_closing import LoopCloser
+        if self._vocabulary is None:
+            from .loop.vocabulary import train_vocabulary
+            desc = np.array(feats.desc)[np.array(feats.valid)]
+            self._vocabulary = train_vocabulary(desc, k=8, depth=3, iters=5)
+        self.loop = LoopCloser(self.cfg, self.cam, self._vocabulary, self.map)
 
     def _track(self, feats: FrameFeatures) -> jax.Array:
         tcfg = self.cfg.tracking
@@ -200,7 +219,24 @@ class System:
             kp_point = np.full(self.cfg.orb.max_kpts, -1, np.int64)
             self.state = TrackingState.OK
         else:
-            # LOST: hold pose (relocalization arrives with loop/ package)
+            # LOST: attempt BoW relocalization (Tracking::Relocalization,
+            # src/Tracking.cc:2591); otherwise hold the pose.
+            reloc = self.loop.relocalize(feats) if self.loop else None
+            if reloc is not None and reloc[1] >= 25:
+                Tcw = jnp.asarray(reloc[0])
+                # re-anchor to the map from the relocalized pose
+                lm2 = track_local_map(
+                    self.cam, feats, view, Tcw,
+                    jnp.asarray(tcfg.match_radius_map * 3.0),
+                )
+                if int(lm2.num_inliers) >= tcfg.min_inliers_local_map:
+                    self.state = TrackingState.OK
+                    self.velocity = jnp.eye(4)
+                    self.stats.append(
+                        {"matches": n_mm, "inliers": int(lm2.num_inliers),
+                         "kf": False, "reloc": True}
+                    )
+                    return lm2.Tcw
             self.state = TrackingState.LOST
             self.velocity = jnp.eye(4)
             self.stats.append({"matches": n_mm, "inliers": 0, "kf": False})
@@ -227,6 +263,11 @@ class System:
             self.map.run_local_ba(self.ref_kf)
             self.map.cull_points()
             made_kf = True
+            if self.loop is not None and self.loop.on_keyframe(self.ref_kf):
+                # loop closed: keyframe poses were rewritten -- resync the
+                # tracker state to the corrected current keyframe pose
+                Tcw = self.map.arrays.kf_pose[self.ref_kf]
+                self.velocity = jnp.eye(4)
 
         self.stats.append({"matches": n_mm, "inliers": n_lm, "kf": made_kf})
         return Tcw

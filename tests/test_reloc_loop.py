@@ -1,0 +1,130 @@
+"""Relocalization and loop closing end-to-end."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from amos_slam_tpu.config import SystemConfig, MapConfig, TrackingConfig
+from amos_slam_tpu.system import System, TrackingState
+from amos_slam_tpu.io import synthetic, evaluate
+from amos_slam_tpu.loop import vocab_io
+from amos_slam_tpu.loop.vocabulary import train_vocabulary, transform
+
+
+def small_cfg():
+    return SystemConfig(
+        map=MapConfig(max_keyframes=32, max_points=8192),
+        tracking=TrackingConfig(max_map_points_local=2048),
+        use_dynamics=False,
+    )
+
+
+def test_relocalization_after_blackout():
+    """The gap found in the round-1 blackout probe: after losing tracking,
+    the system must re-anchor to the map via BoW + PnP instead of running
+    odometry from a stale pose."""
+    planes = synthetic.default_room(seed=5)
+    poses = synthetic.orbit_trajectory(30, radius=0.12, advance=0.25)
+    frames = [synthetic.render(planes, T) for T in poses]
+
+    slam = System(small_cfg())
+    for i, (g, d) in enumerate(frames):
+        if 12 <= i <= 14:
+            g = np.zeros_like(g)
+            d = np.zeros_like(d)
+        slam.track_rgbd(g, d, i / 30.0)
+    slam.shutdown()
+
+    # recovered to OK and relocalized at least once
+    assert slam.state is TrackingState.OK
+    assert any(s.get("reloc") for s in slam.stats), "no relocalization fired"
+    # post-recovery absolute accuracy (this failed without reloc: ~5 cm)
+    ok = [i for i in range(30) if i < 12 or i > 16]
+    est = np.asarray(slam.poses_cw)[ok]
+    gt = np.asarray(poses)[ok]
+    ate = evaluate.ate_rmse(
+        evaluate.positions_from_cw(est), evaluate.positions_from_cw(gt)
+    )
+    assert ate < 0.02, f"ATE {ate:.4f}"
+
+
+def test_vocab_npz_roundtrip(tmp_path, rng):
+    descs = (rng.uniform(size=(500, 256)) < 0.5).astype(np.int8)
+    voc = train_vocabulary(descs, k=4, depth=3, iters=4, seed=0)
+    p = str(tmp_path / "voc.npz")
+    vocab_io.save_npz(p, voc)
+    voc2 = vocab_io.load_npz(p)
+    w1, _ = transform(voc, jnp.asarray(descs), jnp.ones(500, bool))
+    w2, _ = transform(voc2, jnp.asarray(descs), jnp.ones(500, bool))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_orbvoc_txt_import(tmp_path):
+    """Synthetic DBoW2-format text file: k=2, L=2 (6 nodes).
+
+    Descriptors are built hierarchically (children are small perturbations
+    of their parent) so tree descent is well-defined.
+    """
+    local = np.random.default_rng(42)
+
+    def bytes_str(bits):
+        by = np.packbits(bits.astype(np.uint8), bitorder="little")
+        return " ".join(str(int(b)) for b in by)
+
+    def perturb(x, n):
+        y = x.copy()
+        idx = local.choice(256, n, replace=False)
+        y[idx] ^= 1
+        return y
+
+    d = np.zeros((6, 256), np.int8)
+    d[0] = (local.uniform(size=256) < 0.5).astype(np.int8)  # node 1
+    d[1] = 1 - d[0]                                          # node 2 (far)
+    d[2] = perturb(d[0], 8)   # leaves under node 1
+    d[3] = perturb(d[0], 8)
+    d[4] = perturb(d[1], 8)   # leaves under node 2
+    d[5] = perturb(d[1], 8)
+    lines = ["2 2 0 0"]
+    # nodes: ids 1,2 children of root(0); 3,4 children of 1; 5,6 children of 2
+    lines.append(f"0 0 {bytes_str(d[0])} 0")
+    lines.append(f"0 0 {bytes_str(d[1])} 0")
+    lines.append(f"1 1 {bytes_str(d[2])} 0.5")
+    lines.append(f"1 1 {bytes_str(d[3])} 0.25")
+    lines.append(f"2 1 {bytes_str(d[4])} 0.7")
+    lines.append(f"2 1 {bytes_str(d[5])} 0.1")
+    p = str(tmp_path / "voc.txt")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    voc = vocab_io.load_orbvoc_txt(p)
+    assert voc.k == 2 and voc.depth == 2 and voc.n_words == 4
+    # a descriptor equal to a leaf lands on that leaf's word
+    w, wt = transform(voc, jnp.asarray(d[2:3]), jnp.ones(1, bool))
+    assert int(w[0]) == 0  # leaf 3 = child 0 of node 1 = word 0
+    np.testing.assert_allclose(float(wt[0]), 0.5, atol=1e-6)
+    w, _ = transform(voc, jnp.asarray(d[5:6]), jnp.ones(1, bool))
+    assert int(w[0]) == 3
+
+
+def test_loop_closing_out_and_back():
+    """Out-and-back trajectory: the end revisits the start. The loop closer
+    must fire (or at least never corrupt the trajectory)."""
+    planes = synthetic.default_room(seed=7)
+    n = 36
+    fwd = synthetic.orbit_trajectory(n // 2, radius=0.03, advance=0.9)
+    back = fwd[::-1][1:]
+    poses = fwd + back + [fwd[0]]
+    frames = [synthetic.render(planes, T) for T in poses]
+
+    slam = System(small_cfg())
+    for i, (g, d) in enumerate(frames):
+        slam.track_rgbd(g, d, i / 30.0)
+    slam.shutdown()
+
+    est = np.asarray(slam.poses_cw)
+    gt = np.asarray(poses)
+    ate = evaluate.ate_rmse(
+        evaluate.positions_from_cw(est), evaluate.positions_from_cw(gt)
+    )
+    assert ate < 0.02, f"ATE {ate:.4f}"
+    assert slam.state is TrackingState.OK
