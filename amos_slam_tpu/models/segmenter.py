@@ -1,0 +1,84 @@
+"""Stage-1 semantic segmenter: RGB frame -> dynamic-object (person) mask.
+
+Replaces the reference's embedded-interpreter bridge (src/yolact.cc:203-318
++ src/python/yolact_interface.py:806-890: resize to the net size, forward,
+postprocess at score 0.15 / top-15, sum class-0 "person" masks into one
+uint8 mask). Here the whole thing is ONE jitted XLA program on the same
+device as the SLAM front end -- the cross-runtime per-frame hop the
+reference pays (SURVEY.md section 2d P6) does not exist.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .yolact import (
+    IMG_SIZE, MEANS, STD, Yolact, make_priors, detect, assemble_masks,
+)
+
+
+class Segmenter:
+    """YOLACT wrapper producing per-frame dynamic masks.
+
+    Args:
+      params: a Yolact parameter pytree (e.g. from models.port_torch or a
+        JAX checkpoint). Random init (for shape/pipeline testing) if None.
+      person_classes: class ids treated as dynamic (reference: person = 0).
+    """
+
+    def __init__(
+        self,
+        params=None,
+        key: Optional[jax.Array] = None,
+        num_classes: int = 81,
+        person_classes: Tuple[int, ...] = (0,),
+        score_th: float = 0.15,
+        top_k: int = 15,
+        dtype=jnp.float32,
+    ):
+        self.model = Yolact(num_classes=num_classes)
+        self.score_th = score_th
+        self.top_k = top_k
+        self.person_classes = person_classes
+        self.priors = jnp.asarray(make_priors())
+        if params is None:
+            key = key if key is not None else jax.random.PRNGKey(0)
+            dummy = jnp.zeros((1, IMG_SIZE, IMG_SIZE, 3), dtype)
+            params = self.model.init(key, dummy)
+        self.params = params
+
+        pc = jnp.asarray(np.asarray(person_classes, np.int32))
+        means = jnp.asarray(MEANS)
+        std = jnp.asarray(STD)
+
+        @jax.jit
+        def _mask_fn(params, rgb):
+            """rgb: (H, W, 3) float32 [0,255] RGB -> (H, W) bool mask."""
+            H, W = rgb.shape[0], rgb.shape[1]
+            img = jax.image.resize(rgb, (IMG_SIZE, IMG_SIZE, 3), "bilinear")
+            bgr = img[..., ::-1]
+            x = ((bgr - means) / std)[None]
+            loc, conf, coef, proto = self.model.apply(params, x)
+            det = detect(
+                loc[0], conf[0], coef[0], self.priors,
+                top_k=self.top_k, conf_th=self.score_th,
+            )
+            is_person = jnp.any(
+                det.classes[:, None] == pc[None, :], axis=-1
+            )
+            masks = assemble_masks(proto[0], det)
+            masks = masks & (is_person & det.valid)[:, None, None]
+            union = jnp.any(masks, axis=0).astype(jnp.float32)
+            out = jax.image.resize(union, (H, W), "bilinear")
+            return out > 0.5
+
+        self._mask_fn = _mask_fn
+
+    def person_mask(self, rgb) -> jax.Array:
+        """(H, W, 3) RGB image (uint8 or float [0,255]) -> (H, W) bool."""
+        return self._mask_fn(self.params, jnp.asarray(rgb, jnp.float32))

@@ -1,0 +1,47 @@
+"""Map checkpoint/resume.
+
+The reference never implemented SaveMap/LoadMap (explicit TODO,
+include/System.h:148-151) because its map is a pointer graph. Ours is
+arrays, so persistence is one compressed npz of the MapArrays plus the
+small host mirrors -- and resume is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .map_state import MapArrays
+
+
+def save_map(path: str, slam_map) -> None:
+    a = slam_map.arrays
+    np.savez_compressed(
+        path,
+        **{f"arr_{k}": np.asarray(v) for k, v in a._asdict().items()},
+        n_kfs=slam_map.n_kfs,
+        n_pts=slam_map.n_pts,
+        kf_obs_np=slam_map.kf_obs_np,
+        kf_frame_id=slam_map.kf_frame_id,
+        covis=slam_map.covis,
+        pt_obs_count=slam_map.pt_obs_count,
+        pt_birth_kf=slam_map.pt_birth_kf,
+        pt_alive=slam_map.pt_alive,
+    )
+
+
+def load_map(path: str, slam_map) -> None:
+    """Restore into an existing SlamMap (created with the same config)."""
+    z = np.load(path)
+    fields = {
+        k: jnp.asarray(z[f"arr_{k}"]) for k in MapArrays._fields
+    }
+    slam_map.arrays = MapArrays(**fields)
+    slam_map.n_kfs = int(z["n_kfs"])
+    slam_map.n_pts = int(z["n_pts"])
+    slam_map.kf_obs_np = z["kf_obs_np"]
+    slam_map.kf_frame_id = z["kf_frame_id"]
+    slam_map.covis = z["covis"]
+    slam_map.pt_obs_count = z["pt_obs_count"]
+    slam_map.pt_birth_kf = z["pt_birth_kf"]
+    slam_map.pt_alive = z["pt_alive"]

@@ -173,6 +173,55 @@ def insert_keyframe_kernel(
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+def add_points_kernel(
+    m: MapArrays,
+    ids: jax.Array,        # (P,) new landmark ids (-1 pad)
+    pos: jax.Array,        # (P, 3)
+    desc: jax.Array,       # (P, 256)
+    normal: jax.Array,     # (P, 3)
+    min_d: jax.Array,      # (P,)
+    max_d: jax.Array,      # (P,)
+    first_kf: jax.Array,   # () int32
+    slot_a: jax.Array,     # () int32 keyframe A
+    kp_a: jax.Array,       # (P,) keypoint index in A (-1 pad)
+    slot_b: jax.Array,     # () int32 keyframe B
+    kp_b: jax.Array,       # (P,) keypoint index in B (-1 pad)
+) -> MapArrays:
+    """Insert triangulated landmarks and their two observations
+    (LocalMapping::CreateNewMapPoints tail, src/LocalMapping.cc:313)."""
+    M = m.pt_pos.shape[0]
+    N = m.kf_obs.shape[1]
+    w = ids >= 0
+    ii = jnp.where(w, ids, M - 1)
+    m = m._replace(
+        pt_pos=m.pt_pos.at[ii].set(jnp.where(w[:, None], pos, m.pt_pos[ii])),
+        pt_desc=m.pt_desc.at[ii].set(
+            jnp.where(w[:, None], desc, m.pt_desc[ii])
+        ),
+        pt_normal=m.pt_normal.at[ii].set(
+            jnp.where(w[:, None], normal, m.pt_normal[ii])
+        ),
+        pt_min_dist=m.pt_min_dist.at[ii].set(
+            jnp.where(w, min_d, m.pt_min_dist[ii])
+        ),
+        pt_max_dist=m.pt_max_dist.at[ii].set(
+            jnp.where(w, max_d, m.pt_max_dist[ii])
+        ),
+        pt_valid=m.pt_valid.at[ii].set(jnp.where(w, True, m.pt_valid[ii])),
+        pt_first_kf=m.pt_first_kf.at[ii].set(
+            jnp.where(w, first_kf, m.pt_first_kf[ii])
+        ),
+    )
+    ka = jnp.where(w & (kp_a >= 0), kp_a, N - 1)
+    kb = jnp.where(w & (kp_b >= 0), kp_b, N - 1)
+    obs_a = m.kf_obs[slot_a].at[ka].max(jnp.where(w & (kp_a >= 0), ids, -1))
+    obs_b = m.kf_obs[slot_b].at[kb].max(jnp.where(w & (kp_b >= 0), ids, -1))
+    return m._replace(
+        kf_obs=m.kf_obs.at[slot_a].set(obs_a).at[slot_b].set(obs_b)
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def bump_point_stats_kernel(
     m: MapArrays, visible_ids: jax.Array, found_ids: jax.Array
 ) -> MapArrays:

@@ -26,12 +26,14 @@ from ..solvers.pose_opt import PoseObs, optimize_pose
 from ..frontend.features import FrameFeatures
 from .map_state import (
     MapArrays,
+    add_points_kernel,
     apply_ba_kernel,
     bump_point_stats_kernel,
     cull_points_kernel,
     empty_map,
     insert_keyframe_kernel,
 )
+from .triangulation import triangulate_pair
 
 
 class LocalView(NamedTuple):
@@ -267,6 +269,80 @@ class SlamMap:
             max_dist=a.pt_max_dist[gather],
             valid=jnp.asarray(ids_p >= 0) & a.pt_valid[gather],
         )
+
+    # -- epipolar triangulation of new landmarks -------------------------------
+    def create_new_points(self, slot: int, max_neighbours: int = 3) -> int:
+        """Triangulate new landmarks between ``slot`` and its best covisible
+        keyframes (LocalMapping::CreateNewMapPoints). Returns #created."""
+        a = self.arrays
+        kfs = self.local_keyframes(slot, max_neighbours + 1)
+        created = 0
+        obs_slot = self.kf_obs_np[slot]
+        for nb in kfs[1:]:
+            nb = int(nb)
+            un_a = jnp.asarray(obs_slot < 0)
+            un_b = jnp.asarray(self.kf_obs_np[nb] < 0)
+            res = triangulate_pair(
+                self.cam,
+                a.kf_xy[slot], a.kf_desc[slot], a.kf_kp_valid[slot], un_a,
+                a.kf_angle[slot], a.kf_pose[slot],
+                a.kf_xy[nb], a.kf_desc[nb], a.kf_kp_valid[nb], un_b,
+                a.kf_angle[nb], a.kf_pose[nb],
+            )
+            good = np.array(res.good)
+            # keep only keypoints still unmatched on the host mirror (a
+            # previous neighbour pass may have claimed them)
+            good &= self.kf_obs_np[slot] < 0
+            n_new = int(good.sum())
+            cap = self.M - 1 - self.n_pts
+            if n_new > cap:
+                keep = np.where(good)[0][:cap]
+                good[:] = False
+                good[keep] = True
+                n_new = cap
+            if n_new == 0:
+                continue
+            N = self.N
+            ids = np.full(N, -1, np.int64)
+            ids[good] = self.n_pts + np.arange(n_new)
+            self.n_pts += n_new
+            created += n_new
+
+            pts = np.array(res.points_w)
+            match_j = np.array(res.match_j)
+            # normal/scale range from the creating keyframe's view
+            Twc = np.linalg.inv(np.array(a.kf_pose[slot]))
+            view = pts - Twc[:3, 3]
+            dist = np.linalg.norm(view, axis=-1)
+            normal = view / np.maximum(dist, 1e-9)[:, None]
+            max_d = dist * 1.2
+            min_d = max_d / (1.2 ** (self.cfg.orb.n_levels - 1))
+
+            self.arrays = add_points_kernel(
+                self.arrays,
+                jnp.asarray(ids.astype(np.int32)),
+                jnp.asarray(pts.astype(np.float32)),
+                self.arrays.kf_desc[slot],
+                jnp.asarray(normal.astype(np.float32)),
+                jnp.asarray(min_d.astype(np.float32)),
+                jnp.asarray(max_d.astype(np.float32)),
+                jnp.asarray(slot, jnp.int32),
+                jnp.asarray(slot, jnp.int32),
+                jnp.asarray(np.where(good, np.arange(N), -1).astype(np.int32)),
+                jnp.asarray(nb, jnp.int32),
+                jnp.asarray(np.where(good, match_j, -1).astype(np.int32)),
+            )
+            a = self.arrays
+            # host mirrors
+            self.kf_obs_np[slot][good] = ids[good]
+            self.kf_obs_np[nb][match_j[good]] = ids[good]
+            cids = ids[good]
+            self.pt_alive[cids] = True
+            self.pt_birth_kf[cids] = slot
+            self.pt_obs_count[cids] = 2
+        if created:
+            self._update_covisibility(slot)
+        return created
 
     # -- local bundle adjustment ---------------------------------------------
     def run_local_ba(self, center_slot: int):

@@ -35,9 +35,10 @@ class TrackingState(enum.Enum):
 
 
 class System:
-    """RGB-D SLAM system (stereo/mono arrive with their front ends).
+    """The SLAM system facade for RGB-D, stereo, and monocular sensors.
 
-    Usage matches the reference:
+    Usage matches the reference (System::TrackRGBD/TrackStereo/
+    TrackMonocular, src/System.cc:172-396):
         slam = System(cfg)
         for rgb, depth, t in frames:
             Tcw = slam.track_rgbd(gray, depth, t)
@@ -104,10 +105,58 @@ class System:
             Tcw = self._initialize(feats)
         else:
             Tcw = self._track(feats)
+        return self._finish_frame(feats, Tcw, g, d, timestamp)
 
+    def track_stereo(self, left: np.ndarray, right: np.ndarray, timestamp: float):
+        """Rectified stereo pair in, pose out (reference System::TrackStereo).
+
+        The reference extracts left/right ORB in two std::threads
+        (src/Frame.cc:161-170); here both extraction programs dispatch
+        asynchronously to the device back to back.
+        """
+        from .ops.stereo import match_stereo
+
+        self.frame_id += 1
+        gl = jnp.asarray(left)
+        gr = jnp.asarray(right)
+        kp_l, _, bl = self.pipeline.detect_keypoints(gl)
+        kp_r, _, br = self.pipeline.detect_keypoints(gr)
+        fl = self.pipeline.describe(kp_l, bl)
+        fr = self.pipeline.describe(kp_r, br)
+        min_z = self.cam.bf / self.cam.fx  # disparity <= fx => depth >= b
+        sm = match_stereo(
+            fl.desc, kp_l.xy, kp_l.level, fl.valid,
+            fr.desc, kp_r.xy, kp_r.level, fr.valid,
+            bl[0], br[0], self.cam.bf, jnp.asarray(min_z),
+        )
+        feats = fl._replace(depth=sm.depth, u_right=sm.u_right)
+        self.prev_kp_xy, self.prev_kp_valid = kp_l.xy, kp_l.valid
+
+        if self.state is TrackingState.NOT_INITIALIZED:
+            Tcw = self._initialize(feats)
+        else:
+            Tcw = self._track(feats)
+        return self._finish_frame(feats, Tcw, gl, None, timestamp)
+
+    def track_monocular(self, gray: np.ndarray, timestamp: float):
+        """Single image in, pose out (reference System::TrackMonocular)."""
+        self.frame_id += 1
+        g = jnp.asarray(gray)
+        kp, _, blurred = self.pipeline.detect_keypoints(g)
+        feats = self.pipeline.describe(kp, blurred)
+        self.prev_kp_xy, self.prev_kp_valid = kp.xy, kp.valid
+
+        if self.state is TrackingState.NOT_INITIALIZED:
+            Tcw = self._initialize_mono(feats)
+        else:
+            Tcw = self._track(feats)
+        return self._finish_frame(feats, Tcw, g, None, timestamp)
+
+    def _finish_frame(self, feats, Tcw, gray, depth, timestamp):
         self.last_feats = feats
         self.last_Tcw = Tcw
-        self.prev_gray, self.prev_depth = g, d
+        self.prev_gray = gray
+        self.prev_depth = depth
         self.timestamps.append(timestamp)
         self.poses_cw.append(np.asarray(Tcw, np.float64))
         return np.asarray(Tcw)
@@ -156,6 +205,19 @@ class System:
     def save_trajectory_kitti(self, path: str):
         trajectory.save_kitti(path, self.poses_cw)
 
+    def save_map(self, path: str):
+        """Persist the full map (the reference's SaveMap TODO,
+        include/System.h:148-151, made trivial by array storage)."""
+        from .slam_map.checkpoint import save_map
+
+        save_map(path, self.map)
+
+    def load_map(self, path: str):
+        from .slam_map.checkpoint import load_map
+
+        load_map(path, self.map)
+        self.ref_kf = max(self.map.n_kfs - 1, 0)
+
     def shutdown(self):
         """Block until all dispatched device work has drained."""
         jax.block_until_ready(self.map.arrays)
@@ -179,6 +241,115 @@ class System:
         self.stats.append({"matches": n_depth, "inliers": n_depth, "kf": True})
         return Tcw
 
+    def _initialize_mono(self, feats: FrameFeatures) -> jax.Array:
+        """Monocular bootstrapping (MonocularInitialization +
+        CreateInitialMapMonocular, src/Tracking.cc:1441/1558): hold a
+        reference frame, wide-window match, batched H/F initialization,
+        inverse-median-depth scale normalization, two keyframes + landmarks,
+        then a local BA polish."""
+        from .ops import hamming
+        from .solvers.initializer import initialize_two_view
+        from .slam_map.map_state import add_points_kernel
+
+        n_kp = int(jnp.sum(feats.valid))
+        if getattr(self, "_mono_ref", None) is None:
+            if n_kp >= 100:
+                self._mono_ref = feats
+            self.stats.append({"matches": 0, "inliers": 0, "kf": False})
+            return jnp.eye(4)
+
+        ref = self._mono_ref
+        if n_kp < 100:
+            self._mono_ref = None
+            self.stats.append({"matches": 0, "inliers": 0, "kf": False})
+            return jnp.eye(4)
+
+        # SearchForInitialization (src/ORBmatcher.cc:515): 100 px window,
+        # ratio 0.9, rotation consistency.
+        dist = hamming.hamming_matrix(ref.desc, feats.desc)
+        wmask = hamming.window_mask(
+            ref.xy_un, feats.xy_un, 100.0, ref.valid, feats.valid
+        )
+        res = hamming.match(
+            hamming.apply_mask(dist, wmask), max_dist=50, nn_ratio=0.9,
+            mutual=True, angle_q=ref.kp.angle, angle_t=feats.kp.angle,
+        )
+        n_match = int(jnp.sum(res.valid))
+        if n_match < 100:
+            self._mono_ref = feats if n_kp >= 100 else None
+            self.stats.append({"matches": n_match, "inliers": 0, "kf": False})
+            return jnp.eye(4)
+
+        j = jnp.maximum(res.idx, 0)
+        init = initialize_two_view(
+            self.cam, ref.xy_un, feats.xy_un[j], res.valid,
+            jax.random.PRNGKey(self.frame_id),
+        )
+        if not bool(init.ok):
+            self.stats.append({"matches": n_match, "inliers": 0, "kf": False})
+            return jnp.eye(4)
+
+        # scale: median scene depth -> 1 (inverse-median-depth, :1558)
+        good = np.array(init.point_ok)
+        pts = np.array(init.points)
+        med = float(np.median(pts[good][:, 2]))
+        scale = 1.0 / max(med, 1e-6)
+        pts = pts * scale
+        T2 = np.array(init.Tcw2)
+        T2[:3, 3] *= scale
+        T2 = jnp.asarray(T2)
+
+        none = np.full(self.cfg.orb.max_kpts, -1, np.int64)
+        kf0 = self.map.insert_keyframe(ref, jnp.eye(4), none, self.frame_id - 1)
+        kf1 = self.map.insert_keyframe(feats, T2, none, self.frame_id)
+
+        # landmarks with observations in both keyframes
+        N = self.cfg.orb.max_kpts
+        n_new = int(good.sum())
+        cap = self.map.M - 1 - self.map.n_pts
+        n_new = min(n_new, cap)
+        sel = np.where(good)[0][:n_new]
+        ids = np.full(N, -1, np.int64)
+        ids[sel] = self.map.n_pts + np.arange(n_new)
+        self.map.n_pts += n_new
+        view = pts - 0.0
+        d = np.linalg.norm(view, axis=-1)
+        normal = view / np.maximum(d, 1e-9)[:, None]
+        match_np = np.array(res.idx)
+        self.map.arrays = add_points_kernel(
+            self.map.arrays,
+            jnp.asarray(ids.astype(np.int32)),
+            jnp.asarray(pts.astype(np.float32)),
+            ref.desc,
+            jnp.asarray(normal.astype(np.float32)),
+            jnp.asarray((d / 1.2 ** 7).astype(np.float32)),
+            jnp.asarray((d * 1.2).astype(np.float32)),
+            jnp.asarray(kf0, jnp.int32),
+            jnp.asarray(kf0, jnp.int32),
+            jnp.asarray(np.where(ids >= 0, np.arange(N), -1).astype(np.int32)),
+            jnp.asarray(kf1, jnp.int32),
+            jnp.asarray(np.where(ids >= 0, match_np, -1).astype(np.int32)),
+        )
+        cids = ids[ids >= 0]
+        self.map.pt_alive[cids] = True
+        self.map.pt_birth_kf[cids] = kf0
+        self.map.pt_obs_count[cids] = 2
+        self.map.kf_obs_np[kf0][ids >= 0] = cids
+        self.map.kf_obs_np[kf1][match_np[ids >= 0]] = cids
+        self.map._update_covisibility(kf1)
+        self.map.run_local_ba(kf1)
+
+        self.ref_kf = kf1
+        self.last_kf_frame = self.frame_id
+        self.last_kf_inliers = n_new
+        self.state = TrackingState.OK
+        self._ensure_loop_closer(feats)
+        self.loop.on_keyframe(kf0)
+        self.loop.on_keyframe(kf1)
+        self._mono_ref = None
+        self.stats.append({"matches": n_match, "inliers": n_new, "kf": True})
+        return T2
+
     def _ensure_loop_closer(self, feats: FrameFeatures):
         if self.loop is not None:
             return
@@ -193,19 +364,32 @@ class System:
         tcfg = self.cfg.tracking
         T_pred = self.velocity @ self.last_Tcw
 
-        # 1) motion-model tracking against the last frame
-        mm = track_motion_model(
-            self.cam, feats, self.last_feats, self.last_Tcw, T_pred,
-            jnp.asarray(tcfg.match_radius_motion),
-        )
-        n_mm = int(mm.num_inliers)
-        T0 = mm.Tcw if n_mm >= 10 else T_pred
+        # 1) motion-model tracking against the last frame. Monocular frames
+        # carry no depth, so the temporal-point motion model does not apply
+        # (the reference builds those points from RGBD/stereo depth in
+        # UpdateLastFrame); mono goes straight to map tracking from the
+        # velocity prediction.
+        if self.cfg.sensor == "mono":
+            n_mm = 0
+            T0 = T_pred
+            map_radius = tcfg.match_radius_map * 4.0
+        else:
+            mm = track_motion_model(
+                self.cam, feats, self.last_feats, self.last_Tcw, T_pred,
+                jnp.asarray(tcfg.match_radius_motion),
+            )
+            n_mm = int(mm.num_inliers)
+            # Motion-model failure means the constant-velocity prediction is
+            # wrong -- fall back to the LAST pose, not the extrapolation
+            # (the reference's TrackReferenceKeyFrame starts from mLastFrame's
+            # pose for the same reason, src/Tracking.cc:1736).
+            T0 = mm.Tcw if n_mm >= 10 else self.last_Tcw
+            map_radius = tcfg.match_radius_map * (2.0 if n_mm >= 10 else 6.0)
 
         # 2) local-map tracking (anchors drift to the map)
         view = self.map.local_view(self.ref_kf)
         lm = track_local_map(
-            self.cam, feats, view, T0,
-            jnp.asarray(tcfg.match_radius_map * 2.0),
+            self.cam, feats, view, T0, jnp.asarray(map_radius),
         )
         n_lm = int(lm.num_inliers)
 
@@ -260,6 +444,10 @@ class System:
             )
             self.last_kf_frame = self.frame_id
             self.last_kf_inliers = n_lm
+            # triangulate far/unseen landmarks with covisible keyframes
+            # (LocalMapping::CreateNewMapPoints) -- essential for mono,
+            # extends RGB-D beyond the depth range
+            self.map.create_new_points(self.ref_kf)
             self.map.run_local_ba(self.ref_kf)
             self.map.cull_points()
             made_kf = True

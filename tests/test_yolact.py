@@ -1,0 +1,160 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from amos_slam_tpu.models import yolact as Y
+from amos_slam_tpu.models.segmenter import Segmenter
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    """Tiny YOLACT (few classes, shallow backbone) for fast CPU tests."""
+    model = Y.Yolact(num_classes=5, backbone_layers=(1, 1, 1, 1))
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 128, 128, 3))
+    params = model.init(key, x)
+    return model, params
+
+
+def test_forward_shapes(small_model):
+    model, params = small_model
+    x = jnp.ones((2, 128, 128, 3))
+    loc, conf, coef, proto = model.apply(params, x)
+    P = loc.shape[1]
+    assert loc.shape == (2, P, 4)
+    assert conf.shape == (2, P, 5)
+    assert coef.shape == (2, P, Y.PROTO_DIM)
+    # proto at 1/4 input res (P3 stride 8, upsampled x2)
+    assert proto.shape == (2, 32, 32, Y.PROTO_DIM)
+    # coefficient range from tanh
+    assert float(jnp.abs(coef).max()) <= 1.0
+
+
+def test_priors_cover_unit_square():
+    pr = Y.make_priors(IMG_SIZE := 550)
+    assert pr.shape[1] == 4
+    assert (pr[:, :2] > 0).all() and (pr[:, :2] < 1).all()
+    # 5 levels x 3 anchors: strides 8..128
+    expected = sum(
+        (-(-550 // (2 ** (l + 3)))) ** 2 * 3 for l in range(5)
+    )
+    assert len(pr) == expected
+
+
+def test_decode_identity():
+    pr = jnp.asarray([[0.5, 0.5, 0.2, 0.2]])
+    box = Y.decode_boxes(jnp.zeros((1, 4)), pr)
+    np.testing.assert_allclose(np.asarray(box), [[0.4, 0.4, 0.6, 0.6]], atol=1e-6)
+
+
+def test_fast_nms_suppresses_same_class_overlap():
+    """Two heavily overlapping boxes, same class: keep only the stronger.
+    A third distant box must survive."""
+    P = 16
+    priors = np.tile([[0.5, 0.5, 0.2, 0.2]], (P, 1)).astype(np.float32)
+    priors[2] = [0.1, 0.1, 0.1, 0.1]
+    loc = np.zeros((P, 4), np.float32)
+    loc[1] = [0.05, 0.05, 0.0, 0.0]  # slight offset -> big IoU with box 0
+    conf = np.full((P, 3), -10.0, np.float32)
+    conf[:, 0] = 10.0                 # background everywhere by default
+    conf[0] = [-10, 8, -10]           # class 0, strong
+    conf[1] = [-10, 6, -10]           # class 0, weaker, overlapping
+    conf[2] = [-10, 7, -10]           # class 0, far away
+    det = Y.detect(
+        jnp.asarray(loc), jnp.asarray(conf), jnp.zeros((P, Y.PROTO_DIM)),
+        jnp.asarray(priors), top_k=5, pre_nms=8, conf_th=0.1,
+    )
+    v = np.asarray(det.valid)
+    cls = np.asarray(det.classes)[v]
+    boxes = np.asarray(det.boxes)[v]
+    assert v.sum() == 2, (v.sum(), np.asarray(det.scores))
+    # the two survivors: strong central box + the distant one
+    want = np.asarray([[0.05, 0.05, 0.15, 0.15], [0.4, 0.4, 0.6, 0.6]])
+    got = boxes[np.argsort(boxes[:, 0])]
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_assemble_masks_crops_to_box():
+    proto = jnp.ones((8, 8, Y.PROTO_DIM)) * 0.5
+    det = Y.Detections(
+        boxes=jnp.asarray([[0.25, 0.25, 0.75, 0.75]]),
+        scores=jnp.asarray([0.9]),
+        classes=jnp.asarray([0]),
+        coefs=jnp.ones((1, Y.PROTO_DIM)),   # sigmoid(16) ~ 1 everywhere
+        valid=jnp.asarray([True]),
+    )
+    m = np.asarray(Y.assemble_masks(proto, det))[0]
+    assert m[4, 4]
+    assert not m[0, 0] and not m[7, 7]
+
+
+def test_segmenter_pipeline_shapes():
+    """Random weights: validates the full jitted pipeline, not mask quality."""
+    seg = Segmenter(num_classes=5, score_th=0.0)
+    rgb = np.random.default_rng(0).uniform(0, 255, (96, 128, 3))
+    m = seg.person_mask(rgb)
+    assert m.shape == (96, 128)
+    assert m.dtype == jnp.bool_
+    m2 = seg.person_mask(rgb)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(m2))
+
+
+def test_port_torch_mapping_shapes():
+    """Build a synthetic torch-style state_dict with the public YOLACT
+    names and check it ports into a tree the Flax model accepts."""
+    torch = pytest.importorskip("torch")
+    from amos_slam_tpu.models.port_torch import port_state_dict
+
+    layers = (1, 1, 1, 1)
+    sd = {}
+
+    def conv(name, cout, cin, k):
+        sd[f"{name}.weight"] = torch.zeros(cout, cin, k, k)
+
+    def convb(name, cout, cin, k):
+        conv(name, cout, cin, k)
+        sd[f"{name}.bias"] = torch.zeros(cout)
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = torch.ones(c)
+        sd[f"{name}.bias"] = torch.zeros(c)
+        sd[f"{name}.running_mean"] = torch.zeros(c)
+        sd[f"{name}.running_var"] = torch.ones(c)
+
+    conv("backbone.conv1", 64, 3, 7)
+    bn("backbone.bn1", 64)
+    cin = 64
+    planes = 64
+    for s in range(4):
+        tp = f"backbone.layers.{s}.0"
+        conv(f"{tp}.conv1", planes, cin, 1)
+        bn(f"{tp}.bn1", planes)
+        conv(f"{tp}.conv2", planes, planes, 3)
+        bn(f"{tp}.bn2", planes)
+        conv(f"{tp}.conv3", planes * 4, planes, 1)
+        bn(f"{tp}.bn3", planes * 4)
+        conv(f"{tp}.downsample.0", planes * 4, cin, 1)
+        bn(f"{tp}.downsample.1", planes * 4)
+        cin = planes * 4
+        planes *= 2
+    for i in range(3):
+        convb(f"fpn.lat_layers.{i}", 256, [2048, 1024, 512][i], 1)
+        convb(f"fpn.pred_layers.{i}", 256, 256, 3)
+    for i in range(2):
+        convb(f"fpn.downsample_layers.{i}", 256, 256, 3)
+    for idx, (cout, cin2, k) in zip(
+        (0, 2, 4, 8, 10),
+        [(256, 256, 3), (256, 256, 3), (256, 256, 3), (256, 256, 3),
+         (Y.PROTO_DIM, 256, 1)],
+    ):
+        convb(f"proto_net.{idx}", cout, cin2, k)
+    convb("prediction_layers.0.upfeature.0", 256, 256, 3)
+    convb("prediction_layers.0.bbox_layer", 12, 256, 3)
+    convb("prediction_layers.0.conf_layer", 81 * 3, 256, 3)
+    convb("prediction_layers.0.mask_layer", Y.PROTO_DIM * 3, 256, 3)
+
+    params = port_state_dict(sd, layers)
+    model = Y.Yolact(num_classes=81, backbone_layers=layers)
+    out = model.apply(params, jnp.zeros((1, 128, 128, 3)))
+    assert out[0].shape[-1] == 4
