@@ -80,6 +80,21 @@ class ORBPipeline:
         self.scales = np.asarray(orb.level_scales(), np.float32)
         self.pattern = jnp.asarray(orb_ops.make_brief_pattern(orb.pattern_seed))
 
+    # Pipelines are static jit arguments. Hash/eq by CONFIG, not identity:
+    # every derived field above is a pure function of (orb, cam_cfg), so two
+    # pipelines with equal configs must share one compile-cache entry --
+    # otherwise every new System instance recompiles the whole frame path
+    # (minutes through a remote-compile tunnel).
+    def __hash__(self):
+        return hash((self.orb, self.cam_cfg))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, ORBPipeline)
+            and self.orb == other.orb
+            and self.cam_cfg == other.cam_cfg
+        )
+
     # -- stage 1 ----------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=0)
     def detect_keypoints(self, image: jax.Array):

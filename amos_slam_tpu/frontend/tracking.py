@@ -37,7 +37,7 @@ class TrackStepResult(NamedTuple):
     match_idx: jax.Array       # (K,) current-frame kp index per last-frame row
 
 
-@functools.partial(jax.jit, static_argnames=("max_dist",))
+@functools.partial(jax.jit, static_argnames=("max_dist", "opt_rounds", "opt_iters"))
 def track_motion_model(
     cam: Camera,
     cur: FrameFeatures,
@@ -46,6 +46,8 @@ def track_motion_model(
     T_pred: jax.Array,
     radius: jax.Array,
     max_dist: int = 100,
+    opt_rounds: int = 2,
+    opt_iters: int = 8,
 ) -> TrackStepResult:
     """Match last frame's depth-backed keypoints into the current frame by
     projection window, then run motion-only BA.
@@ -93,7 +95,9 @@ def track_motion_model(
             inv_sigma2=cur.inv_sigma2[j],
             valid=res.valid,
         )
-        return res, optimize_pose(T_center, cam, obs)
+        return res, optimize_pose(
+            T_center, cam, obs, rounds=opt_rounds, iters_per_round=opt_iters
+        )
 
     # Pass 1: window around the motion prediction. Pass 2: re-match with a
     # tight window around the refined pose and re-optimize -- this breaks the
@@ -116,6 +120,64 @@ def track_motion_model(
         num_inliers=opt.num_inliers,
         inlier=opt.inlier,
         match_idx=res.idx,
+    )
+
+
+class FusedStepResult(NamedTuple):
+    feats: FrameFeatures
+    lm: "LocalMapTrackResult"   # for KF insertion / stats (device arrays)
+    Tcw: jax.Array              # () selected pose
+    velocity: jax.Array         # updated constant-velocity model
+    counts: jax.Array           # (2,) int32 [mm_inliers, lm_inliers]
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("min_lm",))
+def fused_frame_step(
+    pipe,                      # ORBPipeline (static, hashed by config)
+    image: jax.Array,
+    depth: jax.Array,
+    last: FrameFeatures,
+    last_Tcw: jax.Array,
+    velocity: jax.Array,
+    view,                      # slam_map.LocalView
+    mm_radius: jax.Array,
+    map_radius: jax.Array,
+    min_lm: int = 30,
+) -> FusedStepResult:
+    """The per-frame megakernel (SURVEY.md section 7 architecture stance):
+    ORB extraction + motion-model tracking + local-map tracking + the pose/
+    velocity state update as ONE compiled XLA program. The host reads back a
+    single (2,) counts vector per frame -- every extra eager op or device
+    read costs a full tunnel round trip (~25-30 ms measured on the axon
+    link), which at 5+ per frame was 10x the actual compute time.
+    """
+    from ..slam_map.slam_map import track_local_map
+
+    T_pred = se3.orthonormalize(velocity @ last_Tcw)
+    kp, _, blurred = pipe.detect_keypoints(image)
+    feats = pipe.describe(kp, blurred, depth)
+    mm = track_motion_model(
+        pipe.cam, feats, last, last_Tcw, T_pred, mm_radius
+    )
+    ok_mm = mm.num_inliers >= 10
+    T0 = jnp.where(ok_mm, mm.Tcw, last_Tcw)
+    # widen the map window when the motion model failed (retry ladder)
+    lm = track_local_map(
+        pipe.cam, feats, view, T0,
+        jnp.where(ok_mm, map_radius, map_radius * 3.0),
+    )
+    ok_lm = lm.num_inliers >= min_lm
+    Tcw = jnp.where(ok_lm, lm.Tcw, T0)
+    tracked = ok_lm | ok_mm
+    vel_new = jnp.where(
+        tracked,
+        se3.orthonormalize(Tcw @ se3.inv_T(last_Tcw)),
+        jnp.eye(4),
+    )
+    Tcw = jnp.where(tracked, Tcw, last_Tcw)
+    counts = jnp.stack([mm.num_inliers, lm.num_inliers])
+    return FusedStepResult(
+        feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts
     )
 
 

@@ -266,6 +266,7 @@ class LoopCloser:
             new_pts = np.zeros((0, 3), np.float32)
 
         # scatter back on device
+        m.version += 1
         arr = a._replace(
             kf_pose=a.kf_pose.at[jnp.arange(K)].set(
                 jnp.asarray(poses_new.astype(np.float32))

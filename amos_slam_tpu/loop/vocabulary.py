@@ -55,6 +55,39 @@ def _hamming(a: jax.Array, b: jax.Array) -> jax.Array:
     return na + nb - 2 * dot
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_node", "iters"))
+def _em_level(centers, cvalid, assign, desc, k: int, n_node: int, iters: int):
+    """One vocabulary level's k-means EM, jitted (an eager scan here meant
+    a fresh trace+remote-compile per System construction)."""
+    N = desc.shape[0]
+
+    def em_step(carry, _):
+        centers, cvalid = carry
+        # candidates for each descriptor: its parent's k children
+        cand = assign[:, None] * k + jnp.arange(k)[None, :]   # (N, k)
+        cdesc = centers[cand]                                  # (N, k, 256)
+        d = _hamming(desc, cdesc)
+        d = jnp.where(cvalid[cand], d, 1 << 20)
+        child = jnp.argmin(d, axis=-1)
+        new_assign = assign * k + child
+        # majority-vote centroid update
+        ones = jax.ops.segment_sum(
+            desc.astype(jnp.int32), new_assign, num_segments=n_node
+        )
+        cnt = jax.ops.segment_sum(
+            jnp.ones(N, jnp.int32), new_assign, num_segments=n_node
+        )
+        maj = (2 * ones > cnt[:, None]).astype(jnp.int8)
+        has = cnt > 0
+        centers = jnp.where(has[:, None], maj, centers)
+        return (centers, cvalid | has), new_assign
+
+    (centers, cvalid), assigns = jax.lax.scan(
+        em_step, (centers, cvalid), None, length=iters
+    )
+    return centers, cvalid, assigns[-1]
+
+
 def train_vocabulary(
     descriptors: np.ndarray,   # (N, 256) {0,1} int8/bool training set
     k: int = 8,
@@ -96,31 +129,9 @@ def train_vocabulary(
         centers = jnp.asarray(centers)
         cvalid_j = jnp.asarray(cvalid)
 
-        def em_step(carry, _):
-            centers, cvalid_j = carry
-            # candidates for each descriptor: its parent's k children
-            cand = assign[:, None] * k + jnp.arange(k)[None, :]   # (N, k)
-            cdesc = centers[cand]                                  # (N, k, 256)
-            d = _hamming(desc, cdesc)
-            d = jnp.where(cvalid_j[cand], d, 1 << 20)
-            child = jnp.argmin(d, axis=-1)
-            new_assign = assign * k + child
-            # majority-vote centroid update
-            ones = jax.ops.segment_sum(
-                desc.astype(jnp.int32), new_assign, num_segments=n_node
-            )
-            cnt = jax.ops.segment_sum(
-                jnp.ones(N, jnp.int32), new_assign, num_segments=n_node
-            )
-            maj = (2 * ones > cnt[:, None]).astype(jnp.int8)
-            has = cnt > 0
-            centers = jnp.where(has[:, None], maj, centers)
-            return (centers, cvalid_j | has), new_assign
-
-        (centers, cvalid_new), assigns = jax.lax.scan(
-            em_step, (centers, cvalid_j), None, length=iters
+        centers, cvalid_new, assign = _em_level(
+            centers, cvalid_j, assign, desc, k, n_node, iters
         )
-        assign = assigns[-1]
         levels.append(np.asarray(centers))
         valids.append(np.asarray(cvalid_new))
 

@@ -23,6 +23,7 @@ Design (SURVEY.md section 2b "g2o -> batched GN"):
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -121,6 +122,9 @@ def _residuals(cam: Camera, pose: jax.Array, points: jax.Array, prob: BAProblem)
     return r, Jc, Jp, chi2, is_stereo, depth_ok
 
 
+@functools.partial(
+    jax.jit, static_argnames=("iters_phase1", "iters_phase2", "lam0")
+)
 def solve_local_ba(
     cam: Camera,
     prob: BAProblem,

@@ -17,6 +17,7 @@ evaluated at xi = 0; fix_scale=True (RGB-D/stereo) pins the scale tangent.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -57,6 +58,7 @@ def _edge_res_tangent(xi2, Si: Sim3, Sj: Sim3, Sm: Sim3):
     return sim3_log(Sm.inverse().compose(rel))
 
 
+@functools.partial(jax.jit, static_argnames=("iters", "fix_scale", "lam"))
 def optimize_pose_graph(
     prob: PoseGraphProblem,
     iters: int = 20,

@@ -71,6 +71,12 @@ class System:
         self.poses_cw = []
         self.stats = []
 
+        # pipelined fast path: pending (result, view, frame_id) to resolve
+        self._pending = None
+        tc = self.cfg.tracking
+        self._r_mm = jnp.asarray(tc.match_radius_motion)
+        self._r_map = jnp.asarray(tc.match_radius_map * 2.0)
+
         # previous-frame state for the dynamic stage
         self.prev_gray = None
         self.prev_depth = None
@@ -93,12 +99,56 @@ class System:
         self.frame_id += 1
         g = jnp.asarray(gray)
         d = jnp.asarray(depth)
+
+        # Fast path: with neither a seg mask nor the geometric stage active,
+        # the whole frame -- extraction + both tracking stages + the pose/
+        # velocity update -- is ONE fused XLA program, and the host state
+        # machine runs PIPELINED one frame behind: the device state chain
+        # (pose, velocity, features) is self-consistent inside the program
+        # (including its own LOST fallback), so the host only supervises
+        # (keyframes, relocalization) and can consume frame i's inlier
+        # counts while frame i+1 computes. This hides the device->host
+        # round trip, which costs more than the entire frame's compute.
+        if (
+            not self.cfg.use_dynamics
+            and seg_mask is None
+            and self.state is TrackingState.OK
+        ):
+            from .frontend.tracking import fused_frame_step
+
+            tcfg = self.cfg.tracking
+            view = self.map.local_view(self.ref_kf)
+            res = fused_frame_step(
+                self.pipeline, g, d, self.last_feats, self.last_Tcw,
+                self.velocity, view, self._r_mm, self._r_map,
+                min_lm=tcfg.min_inliers_local_map,
+            )
+            try:
+                res.counts.copy_to_host_async()
+            except AttributeError:
+                pass
+            # advance the device state chain immediately
+            self.last_feats = res.feats
+            self.last_Tcw = res.Tcw
+            self.velocity = res.velocity
+            self.prev_kp_xy = res.feats.kp.xy
+            self.prev_kp_valid = res.feats.kp.valid
+            self.prev_gray, self.prev_depth = g, d
+            self.timestamps.append(timestamp)
+            self.poses_cw.append(res.Tcw)
+
+            prev = self._pending
+            self._pending = (res, view, self.frame_id)
+            if prev is not None:
+                self._resolve_step(*prev)
+            return res.Tcw
+
+        self._flush_pending()
         seg = (
             jnp.asarray(seg_mask).astype(bool)
             if seg_mask is not None
             else jnp.zeros(g.shape, bool)
         )
-
         feats = self._extract_with_dynamics(g, d, seg, seg_mask is not None)
 
         if self.state is TrackingState.NOT_INITIALIZED:
@@ -116,6 +166,7 @@ class System:
         """
         from .ops.stereo import match_stereo
 
+        self._flush_pending()
         self.frame_id += 1
         gl = jnp.asarray(left)
         gr = jnp.asarray(right)
@@ -140,6 +191,7 @@ class System:
 
     def track_monocular(self, gray: np.ndarray, timestamp: float):
         """Single image in, pose out (reference System::TrackMonocular)."""
+        self._flush_pending()
         self.frame_id += 1
         g = jnp.asarray(gray)
         kp, _, blurred = self.pipeline.detect_keypoints(g)
@@ -152,14 +204,64 @@ class System:
             Tcw = self._track(feats)
         return self._finish_frame(feats, Tcw, g, None, timestamp)
 
+    # ---------------------------------------------------- pipelined resolve
+    def _resolve_step(self, res, view, frame_id: int):
+        """Lagged host supervision of a fused fast-path frame: state
+        machine, keyframe decision, stats. Runs one frame behind dispatch
+        so the counts read never stalls the device."""
+        tcfg = self.cfg.tracking
+        counts = np.asarray(res.counts)
+        n_mm, n_lm = int(counts[0]), int(counts[1])
+        made_kf = False
+        if n_lm >= tcfg.min_inliers_local_map:
+            self.state = TrackingState.OK
+            self.map.bump_stats(res.lm.visible_ids, res.lm.found_ids)
+            need_kf = (
+                (frame_id - self.last_kf_frame >= 30)
+                or (
+                    frame_id - self.last_kf_frame >= 3
+                    and n_lm < 0.75 * max(self.last_kf_inliers, 1)
+                )
+                or n_lm < 50
+            )
+            if need_kf:
+                kp_point = np.array(res.lm.kp_point_id)
+                self.ref_kf = self.map.insert_keyframe(
+                    res.feats, res.Tcw, kp_point, frame_id
+                )
+                self.last_kf_frame = frame_id
+                self.last_kf_inliers = n_lm
+                self.map.create_new_points(self.ref_kf)
+                self.map.run_local_ba(self.ref_kf)
+                self.map.cull_points()
+                made_kf = True
+                if self.loop is not None and self.loop.on_keyframe(self.ref_kf):
+                    self.last_Tcw = self.map.arrays.kf_pose[self.ref_kf]
+                    self.velocity = jnp.eye(4)
+        elif n_mm >= 10:
+            self.state = TrackingState.OK   # pure odometry frame
+        else:
+            # the device chain already held the pose; the next frame takes
+            # the slow path, which runs relocalization
+            self.state = TrackingState.LOST
+        self.stats.append({"matches": n_mm, "inliers": n_lm, "kf": made_kf})
+
+    def _flush_pending(self):
+        if self._pending is not None:
+            p = self._pending
+            self._pending = None
+            self._resolve_step(*p)
+
     def _finish_frame(self, feats, Tcw, gray, depth, timestamp):
         self.last_feats = feats
         self.last_Tcw = Tcw
         self.prev_gray = gray
         self.prev_depth = depth
         self.timestamps.append(timestamp)
-        self.poses_cw.append(np.asarray(Tcw, np.float64))
-        return np.asarray(Tcw)
+        # Keep the pose on device: a per-frame host conversion is a tunnel
+        # round trip. poses_cw materializes lazily (np.asarray at save time).
+        self.poses_cw.append(Tcw)
+        return Tcw
 
     def _extract_with_dynamics(self, g, d, seg, has_seg: bool) -> FrameFeatures:
         """The Amos split pipeline: keypoints -> dynamic mask -> descriptors
@@ -200,10 +302,16 @@ class System:
         return self.pipeline.describe(kp, blurred, d, suppress)
 
     def save_trajectory_tum(self, path: str):
-        trajectory.save_tum(path, self.timestamps, self.poses_cw)
+        self._flush_pending()
+        trajectory.save_tum(
+            path, self.timestamps, [np.asarray(T, np.float64) for T in self.poses_cw]
+        )
 
     def save_trajectory_kitti(self, path: str):
-        trajectory.save_kitti(path, self.poses_cw)
+        self._flush_pending()
+        trajectory.save_kitti(
+            path, [np.asarray(T, np.float64) for T in self.poses_cw]
+        )
 
     def save_map(self, path: str):
         """Persist the full map (the reference's SaveMap TODO,
@@ -219,8 +327,10 @@ class System:
         self.ref_kf = max(self.map.n_kfs - 1, 0)
 
     def shutdown(self):
-        """Block until all dispatched device work has drained."""
+        """Resolve pending supervision and drain dispatched device work."""
+        self._flush_pending()
         jax.block_until_ready(self.map.arrays)
+        jax.block_until_ready(self.last_Tcw)
 
     # ------------------------------------------------------------- internals
     def _initialize(self, feats: FrameFeatures) -> jax.Array:
@@ -363,6 +473,7 @@ class System:
     def _track(self, feats: FrameFeatures) -> jax.Array:
         tcfg = self.cfg.tracking
         T_pred = self.velocity @ self.last_Tcw
+        view = self.map.local_view(self.ref_kf)
 
         # 1) motion-model tracking against the last frame. Monocular frames
         # carry no depth, so the temporal-point motion model does not apply
@@ -387,19 +498,25 @@ class System:
             map_radius = tcfg.match_radius_map * (2.0 if n_mm >= 10 else 6.0)
 
         # 2) local-map tracking (anchors drift to the map)
-        view = self.map.local_view(self.ref_kf)
         lm = track_local_map(
             self.cam, feats, view, T0, jnp.asarray(map_radius),
         )
-        n_lm = int(lm.num_inliers)
+        mm_Tcw = T0 if n_mm >= 10 else None
+        return self._post_track(feats, n_mm, mm_Tcw, lm, view)
 
+    def _post_track(self, feats, n_mm, mm_Tcw, lm, view, n_lm=None) -> jax.Array:
+        """Decision tail shared by the split and fused tracking paths."""
+        tcfg = self.cfg.tracking
+        if n_lm is None:
+            n_lm = int(lm.num_inliers)
+
+        kp_point = None   # fetched lazily: it is a 30 ms host read
         if n_lm >= tcfg.min_inliers_local_map:
             Tcw = lm.Tcw
-            kp_point = np.array(lm.kp_point_id)
             self.state = TrackingState.OK
             self.map.bump_stats(lm.visible_ids, lm.found_ids)
-        elif n_mm >= 10:
-            Tcw = mm.Tcw
+        elif n_mm >= 10 and mm_Tcw is not None:
+            Tcw = mm_Tcw
             kp_point = np.full(self.cfg.orb.max_kpts, -1, np.int64)
             self.state = TrackingState.OK
         else:
@@ -439,6 +556,8 @@ class System:
         )
         made_kf = False
         if need_kf and n_lm >= tcfg.min_inliers_local_map:
+            if kp_point is None:
+                kp_point = np.array(lm.kp_point_id)
             self.ref_kf = self.map.insert_keyframe(
                 feats, Tcw, kp_point, self.frame_id
             )

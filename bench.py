@@ -1,17 +1,17 @@
 #!/usr/bin/env python
-"""Headline benchmark: RGB-D tracking throughput on one TPU chip.
+"""Headline benchmark: full RGB-D SLAM tracking throughput on one TPU chip.
 
-Measures the full per-frame front end -- ORB pyramid/FAST/rBRIEF extraction
-+ projection-windowed Hamming matching + robust motion-only BA -- in a
-steady-state loop over a pre-rendered synthetic RGB-D sequence (the
-reference's workload shape per SURVEY.md section 3.1, minus the not-yet-built
-subsystems, which will be folded in as they land).
+Measures steady-state System.track_rgbd -- the fused per-frame program (ORB
+extraction + motion-model tracking + local-map tracking in one XLA dispatch)
+plus the host state machine, against a live array-resident map with
+keyframe insertion/local BA amortized in. Input frames are pre-staged on
+device (dataloader-prefetch assumption).
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
-Baseline: the driver-set north star is >=120 FPS (4x the 30 FPS real-time
-bar, BASELINE.md); vs_baseline = value / 120.
+Baseline: the driver-set north star is >=120 FPS (4x the reference's 30 FPS
+real-time bar, BASELINE.md); vs_baseline = value / 120.
 """
 
 import json
@@ -25,62 +25,52 @@ def main():
     import jax.numpy as jnp
 
     from amos_slam_tpu.config import SystemConfig
-    from amos_slam_tpu.frontend.features import ORBPipeline
-    from amos_slam_tpu.frontend.tracking import track_motion_model
-    from amos_slam_tpu.geometry import se3
-    from amos_slam_tpu.io import synthetic
+    from amos_slam_tpu.system import System, TrackingState
+    from amos_slam_tpu.io import synthetic, evaluate
 
-    cfg = SystemConfig()
-    pipeline = ORBPipeline(cfg.orb, cfg.camera)
-
-    n_frames = 20
+    cfg = SystemConfig(use_dynamics=False)
+    n_frames = 40
     planes = synthetic.default_room(seed=1)
-    poses = synthetic.orbit_trajectory(n_frames, radius=0.1, advance=0.2)
-    host_frames = [synthetic.render(planes, T) for T in poses]
+    poses = synthetic.orbit_trajectory(n_frames, radius=0.1, advance=0.25)
     frames = [
-        (jax.device_put(jnp.asarray(g)), jax.device_put(jnp.asarray(d)))
-        for g, d in host_frames
+        tuple(jax.device_put(jnp.asarray(a)) for a in synthetic.render(planes, T))
+        for T in poses
     ]
-    radius = jnp.asarray(cfg.tracking.match_radius_motion)
 
-    def run_pass():
-        last_feats = None
-        last_T = jnp.eye(4)
-        vel = jnp.eye(4)
-        inliers = []
-        for g, d in frames:
-            feats = pipeline.extract(g, depth_image=d)
-            if last_feats is not None:
-                T_pred = vel @ last_T
-                res = track_motion_model(
-                    pipeline.cam, feats, last_feats, last_T, T_pred, radius
-                )
-                vel = res.Tcw @ se3.inv_T(last_T)
-                last_T = res.Tcw
-                inliers.append(res.num_inliers)
-            last_feats = feats
-        jax.block_until_ready(last_T)
-        return inliers
+    def run(slam):
+        for i, (g, d) in enumerate(frames):
+            slam.track_rgbd(g, d, i / 30.0)
+        slam.shutdown()
+        return slam
 
-    run_pass()  # warmup/compile
-    n_pass = 3
+    run(System(cfg))                       # warmup: compile everything
+    slam = System(cfg)
     t0 = time.perf_counter()
-    for _ in range(n_pass):
-        inl = run_pass()
+    run(slam)
     dt = time.perf_counter() - t0
-    fps = n_pass * n_frames / dt
+    fps = n_frames / dt
 
-    med_inl = int(np.median([int(x) for x in inl]))
+    est = np.asarray(slam.poses_cw)
+    gt = np.asarray(poses)
+    ate = evaluate.ate_rmse(
+        evaluate.positions_from_cw(est), evaluate.positions_from_cw(gt)
+    )
+    inl = [s["inliers"] for s in slam.stats[1:]]
+
     result = {
-        "metric": "rgbd_tracking_fps",
+        "metric": "rgbd_slam_tracking_fps",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 120.0, 3),
         "extra": {
             "device": str(jax.devices()[0]),
             "frames": n_frames,
-            "median_inliers": med_inl,
-            "note": "extract+match+pose-opt per 640x480 RGB-D frame",
+            "ate_rmse_m": round(float(ate), 4),
+            "median_inliers": int(np.median(inl)),
+            "keyframes": slam.map.n_kfs,
+            "map_points": slam.map.n_pts,
+            "state": slam.state.name,
+            "note": "full System.track_rgbd fused path, 640x480, live map",
         },
     }
     print(json.dumps(result))

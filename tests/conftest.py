@@ -27,6 +27,9 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Fresh deterministic generator per test: a session-scoped rng makes
+    every consumer's data depend on which tests ran before it (real
+    order-dependent failures happened)."""
     return np.random.default_rng(0)
