@@ -102,12 +102,26 @@ class ORBPipeline:
         pyr = pyr_ops.build_pyramid(image, self.sizes)
         blurred = pyr_ops.blur_pyramid(pyr)
 
+        # FAST margin + NMS for ALL levels: on TPU, one fused Pallas pass
+        # over the stacked pyramid (one HBM read; ~190x the XLA formulation);
+        # elsewhere, the portable XLA version. Level-slot boundary halo
+        # contamination lands inside the detection border and is masked.
+        L, H, W = pyr.shape
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas.fast_pallas import fast_margin_nms
+
+            margins = fast_margin_nms(pyr.reshape(L * H, W)).reshape(L, H, W)
+        else:
+            margins = jax.vmap(
+                lambda im: fast_ops.nms3x3(fast_ops.fast_margin(im))
+            )(pyr)
+
         per_level = []
         for lvl, ((h, w), budget) in enumerate(zip(self.sizes, self.budgets)):
             if budget <= 0:
                 continue
-            lk = fast_ops.detect_level(
-                pyr[lvl], (h, w), budget,
+            lk = fast_ops.select_from_margin(
+                margins[lvl], (h, w), budget,
                 min_th=self.orb.min_th_fast,
                 border=self.orb.border,
                 cell=self.orb.cell_size,

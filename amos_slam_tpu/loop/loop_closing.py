@@ -54,8 +54,11 @@ class LoopCloser:
         desc = a.kf_desc[slot]
         valid = a.kf_kp_valid[slot]
         words, weights = transform(self.voc, desc, valid)
-        words_np = np.asarray(words)
-        weights_np = np.asarray(weights)
+        ww = np.asarray(
+            jnp.stack([words.astype(jnp.float32), weights])
+        )  # one host read instead of two
+        words_np = ww[0].astype(np.int64)
+        weights_np = ww[1]
 
         closed = False
         if slot - self.last_loop_kf > 5 and self.map.n_kfs > 8:

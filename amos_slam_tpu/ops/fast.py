@@ -86,9 +86,23 @@ def detect_level(
     ``img`` may be a zero-padded full-size slot; ``active_hw`` is the level's
     true static extent.
     """
-    H, W = img.shape
+    return select_from_margin(
+        nms3x3(fast_margin(img)), active_hw, budget, min_th, border, cell
+    )
+
+
+def select_from_margin(
+    margin: jax.Array,
+    active_hw: Tuple[int, int],
+    budget: int,
+    min_th: float,
+    border: int,
+    cell: int = 16,
+) -> LevelKeypoints:
+    """Spatially balanced top-k selection from a precomputed NMS'd margin
+    map (use with the Pallas margin kernel, ops/pallas/fast_pallas.py)."""
+    H, W = margin.shape
     h, w = active_hw
-    margin = nms3x3(fast_margin(img))
 
     # Mask borders and the padding region.
     ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)

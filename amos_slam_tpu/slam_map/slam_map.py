@@ -204,14 +204,20 @@ class SlamMap:
         self.n_kfs += 1
         self.kf_frame_id[slot] = frame_id
 
-        valid = np.asarray(feats.valid)
-        depth = np.asarray(feats.depth)
-        close = depth > 0
+        # one batched host read (each separate read is a tunnel round trip)
+        vd = np.asarray(
+            jnp.stack([feats.valid.astype(jnp.float32),
+                       (feats.depth > 0).astype(jnp.float32)])
+        )
+        valid = vd[0] > 0
+        close = vd[1] > 0
+
         matched = kp_point_id >= 0
         create = valid & close & ~matched
         n_new = int(create.sum())
         cap = self.M - 1 - self.n_pts
         if n_new > cap:   # drop farthest-first beyond capacity
+            depth = np.asarray(feats.depth)
             idx = np.where(create)[0]
             order = np.argsort(depth[idx])
             create[:] = False
