@@ -196,6 +196,11 @@ class LoopCloser:
         T_rel[:3, 3] = np.asarray(g.t)
         # edge measurement: S_ji with i=slot, j=cand: T_cand * T_slot^-1
         self._pose_graph_correct(slot, cand, T_rel)
+        # background global BA equivalent (RunGlobalBundleAdjustment,
+        # src/LoopClosing.cc:881): structure refit to the corrected poses;
+        # dispatched async on device, overlapping subsequent tracking
+        from .global_ba import run_global_refinement
+        run_global_refinement(self.map, fixed_kf=cand, pose_iters=5)
         return True
 
     # ------------------------------------------------------------------

@@ -263,6 +263,70 @@ def apply_ba_kernel(
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+def refresh_landmarks_kernel(
+    m: MapArrays,
+    ids: jax.Array,      # (V,) landmark ids (-1 pad)
+    kf_of: jax.Array,    # (V, OBS) observing keyframe slots
+    kp_of: jax.Array,    # (V, OBS) keypoint index within that keyframe
+    cnt: jax.Array,      # (V,) number of valid observations
+) -> MapArrays:
+    """Distinctive-descriptor vote + normal/scale refresh for landmarks.
+
+    MapPoint::ComputeDistinctiveDescriptors (src/MapPoint.cc:359): among a
+    landmark's observed descriptors, keep the one minimizing the median
+    Hamming distance to the others. MapPoint::UpdateNormalAndDepth (:477):
+    normal = mean unit vector landmark->camera centers; scale range from
+    the reference keyframe's observation distance.
+    """
+    V, OBS = kf_of.shape
+    desc = m.kf_desc[kf_of, kp_of].astype(jnp.int32)       # (V, OBS, 256)
+    dot = jnp.einsum("voi,vpi->vop", desc, desc)
+    n1 = jnp.sum(desc, axis=-1)
+    dist = n1[:, :, None] + n1[:, None, :] - 2 * dot        # (V, OBS, OBS)
+    obs_ok = jax.lax.broadcasted_iota(jnp.int32, (V, OBS), 1) < cnt[:, None]
+    pair_ok = obs_ok[:, :, None] & obs_ok[:, None, :]
+    big = 1 << 20
+    dist = jnp.where(pair_ok, dist, big)
+    srt = jnp.sort(dist, axis=-1)                           # (V, OBS, OBS)
+    med_idx = jnp.maximum((cnt - 1) // 2, 0)
+    med = jnp.take_along_axis(
+        srt, med_idx[:, None, None].repeat(OBS, axis=1), axis=-1
+    )[..., 0]                                               # (V, OBS)
+    med = jnp.where(obs_ok, med, big)
+    best = jnp.argmin(med, axis=-1)                         # (V,)
+    new_desc = jnp.take_along_axis(
+        m.kf_desc[kf_of, kp_of], best[:, None, None].repeat(256, -1), axis=1
+    )[:, 0]                                                 # (V, 256)
+
+    # normals: mean unit (pos - center) over observations
+    M = m.pt_pos.shape[0]
+    safe_ids = jnp.where(ids >= 0, ids, M - 1)
+    pos = m.pt_pos[safe_ids]                                # (V, 3)
+    poses = m.kf_pose[kf_of]                                # (V, OBS, 4, 4)
+    R = poses[..., :3, :3]
+    t = poses[..., :3, 3]
+    centers = -jnp.einsum("voij,voj->voi", jnp.swapaxes(R, -1, -2), t)
+    rel = pos[:, None, :] - centers
+    d = jnp.linalg.norm(rel, axis=-1)
+    unit = rel / jnp.maximum(d[..., None], 1e-9)
+    w = obs_ok.astype(pos.dtype)
+    normal = jnp.sum(unit * w[..., None], axis=1)
+    normal = normal / jnp.maximum(
+        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9
+    )
+
+    ok = (ids >= 0) & (cnt > 0)
+    return m._replace(
+        pt_desc=m.pt_desc.at[safe_ids].set(
+            jnp.where(ok[:, None], new_desc, m.pt_desc[safe_ids])
+        ),
+        pt_normal=m.pt_normal.at[safe_ids].set(
+            jnp.where(ok[:, None], normal, m.pt_normal[safe_ids])
+        ),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def cull_points_kernel(m: MapArrays, cull_ids: jax.Array) -> MapArrays:
     """Invalidate landmarks (MapPointCulling, src/LocalMapping.cc:262) and
     erase their observations."""

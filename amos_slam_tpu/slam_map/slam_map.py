@@ -32,6 +32,7 @@ from .map_state import (
     cull_points_kernel,
     empty_map,
     insert_keyframe_kernel,
+    refresh_landmarks_kernel,
 )
 from .triangulation import triangulate_pair
 
@@ -212,6 +213,12 @@ class SlamMap:
         valid = vd[0] > 0
         close = vd[1] > 0
 
+        # tracking may have matched against a cached (pre-cull) view snapshot;
+        # drop references to landmarks that died in the meantime
+        kp_point_id = np.where(
+            (kp_point_id >= 0) & self.pt_alive[np.maximum(kp_point_id, 0)],
+            kp_point_id, -1,
+        )
         matched = kp_point_id >= 0
         create = valid & close & ~matched
         n_new = int(create.sum())
@@ -308,6 +315,184 @@ class SlamMap:
         out = _gather_view(self.arrays, jnp.asarray(ids_p.astype(np.int32)))
         self._view_cache = {key: out}   # keep only the newest snapshot
         return out
+
+    # -- keyframe culling ------------------------------------------------------
+    def cull_keyframes(self, around: int) -> int:
+        """Disable redundant keyframes: >= 90% of a KF's landmarks are
+        observed by >= 3 other keyframes (LocalMapping::KeyFrameCulling,
+        src/LocalMapping.cc:874). Host mirror math; device arrays keep the
+        slot (kf_valid=False removes it from BA/loop candidacy)."""
+        culled = 0
+        cands = self.local_keyframes(around, self.cfg.map.local_window)
+        for kf in cands.tolist():
+            if kf == 0 or kf == around or not bool(self.arrays.kf_valid[kf]):
+                continue
+            obs = self.kf_obs_np[kf]
+            ids = obs[obs >= 0]
+            ids = ids[self.pt_alive[ids]]
+            if len(ids) < 20:
+                continue
+            # observation counts excluding this keyframe
+            redundant = (self.pt_obs_count[ids] - 1 >= 3).mean()
+            if redundant > 0.9:
+                self._remove_keyframe(kf)
+                culled += 1
+        if culled:
+            self.version += 1
+        return culled
+
+    def _remove_keyframe(self, kf: int):
+        obs = self.kf_obs_np[kf]
+        ids = obs[obs >= 0]
+        self.pt_obs_count[ids] -= 1
+        self.kf_obs_np[kf] = -1
+        self.covis[kf, :] = 0
+        self.covis[:, kf] = 0
+        self.arrays = self.arrays._replace(
+            kf_valid=self.arrays.kf_valid.at[kf].set(False),
+            kf_kp_valid=self.arrays.kf_kp_valid.at[kf].set(False),
+            kf_obs=self.arrays.kf_obs.at[kf].set(-1),
+        )
+
+    # -- duplicate-landmark fusion ---------------------------------------------
+    def fuse_neighbors(self, slot: int, max_neighbours: int = 4) -> int:
+        """Fuse duplicate landmarks between ``slot`` and its covisible
+        keyframes (LocalMapping::SearchInNeighbors + ORBmatcher::Fuse,
+        src/LocalMapping.cc:629, src/ORBmatcher.cc:1020): when keypoint k of
+        a neighbour matches a landmark of ``slot`` but already observes a
+        DIFFERENT landmark, the two landmarks are duplicates -- keep the one
+        with more observations, rewrite the loser's id everywhere."""
+        kfs = self.local_keyframes(slot, max_neighbours + 1)
+        a = self.arrays
+        my_obs = self.kf_obs_np[slot]
+        fused = 0
+        merges = {}
+        for nb in kfs[1:].tolist():
+            # match slot's landmark-backed keypoints against nb's keypoints
+            d = hamming.hamming_matrix(a.kf_desc[slot], a.kf_desc[nb])
+            mine_has = jnp.asarray(my_obs >= 0)
+            ok = (a.kf_kp_valid[slot] & mine_has)[:, None] & a.kf_kp_valid[nb][None, :]
+            # window by projection of my landmark into nb
+            ids = np.maximum(my_obs, 0)
+            pts = a.pt_pos[jnp.asarray(ids.astype(np.int32))]
+            pc = se3.transform_points(a.kf_pose[nb], pts)
+            uv, z = project(self.cam, pc)
+            wmask = hamming.window_mask(
+                uv, a.kf_xy[nb], 4.0, mine_has & (z > 0.05), a.kf_kp_valid[nb]
+            )
+            res = hamming.match(
+                hamming.apply_mask(d, ok & wmask), max_dist=50,
+                nn_ratio=0.9, mutual=True,
+            )
+            rv = np.asarray(
+                jnp.stack([res.idx.astype(jnp.float32),
+                           res.valid.astype(jnp.float32)])
+            )
+            midx = rv[0].astype(np.int64)
+            mval = rv[1] > 0
+            nb_obs = self.kf_obs_np[nb]
+            gained = []
+            for i in np.where(mval & (my_obs >= 0))[0]:
+                j = midx[i]
+                mine_id = my_obs[i]
+                theirs_id = nb_obs[j]
+                if theirs_id < 0:
+                    # the neighbour keypoint gains an observation of mine
+                    self.kf_obs_np[nb][j] = mine_id
+                    self.pt_obs_count[mine_id] += 1
+                    gained.append((j, mine_id))
+                elif theirs_id != mine_id:
+                    a_id, b_id = int(mine_id), int(theirs_id)
+                    keep, lose = (
+                        (a_id, b_id)
+                        if self.pt_obs_count[a_id] >= self.pt_obs_count[b_id]
+                        else (b_id, a_id)
+                    )
+                    if keep != lose:
+                        merges[lose] = keep
+                        fused += 1
+            if gained:
+                js = jnp.asarray(np.asarray([g[0] for g in gained], np.int32))
+                vs = jnp.asarray(np.asarray([g[1] for g in gained], np.int32))
+                self.arrays = self.arrays._replace(
+                    kf_obs=self.arrays.kf_obs.at[nb, js].set(vs)
+                )
+        if merges:
+            self._apply_merges(merges)
+            self.version += 1
+        return fused
+
+    def _apply_merges(self, merges: dict):
+        # resolve chains (lose1 -> keep1 where keep1 itself lost later):
+        # follow each target to its final survivor, guarding against cycles
+        def resolve(x):
+            seen = set()
+            while x in merges and x not in seen:
+                seen.add(x)
+                x = merges[x]
+            return x
+
+        merges = {l: resolve(k) for l, k in merges.items()}
+        merges = {l: k for l, k in merges.items() if l != k}
+        if not merges:
+            return
+        lose = np.asarray(list(merges.keys()), np.int64)
+        keep = np.asarray(list(merges.values()), np.int64)
+        # host mirror rewrite
+        lut = np.arange(self.M, dtype=np.int64)
+        lut[lose] = keep
+        live = self.kf_obs_np >= 0
+        self.kf_obs_np[live] = lut[self.kf_obs_np[live]]
+        self.pt_obs_count[keep] += self.pt_obs_count[lose]
+        self.pt_alive[lose] = False
+        # device rewrite: kf_obs through the same LUT; losers invalidated
+        lut_j = jnp.asarray(lut.astype(np.int32))
+        a = self.arrays
+        obs = a.kf_obs
+        new_obs = jnp.where(obs >= 0, lut_j[jnp.maximum(obs, 0)], obs)
+        self.arrays = a._replace(
+            kf_obs=new_obs,
+            pt_valid=a.pt_valid.at[jnp.asarray(lose.astype(np.int32))].set(False),
+        )
+
+    # -- landmark statistics refresh -------------------------------------------
+    def refresh_landmarks(self, slot: int):
+        """Recompute distinctive descriptors and normals/scale ranges for
+        the landmarks observed by ``slot``'s local window
+        (MapPoint::ComputeDistinctiveDescriptors, src/MapPoint.cc:359:
+        min-median-Hamming descriptor among observations;
+        UpdateNormalAndDepth, :477: mean viewing direction)."""
+        kfs = self.local_keyframes(slot, self.cfg.map.local_window)
+        ids = self.local_point_ids(kfs)
+        if len(ids) == 0:
+            return
+        P = min(len(ids), self.V)
+        ids = ids[:P]
+        pad = self.V - P
+        ids_p = np.concatenate([ids, np.full(pad, -1, np.int64)])
+        # per landmark, gather up to 8 observing (kf, kp) pairs from the
+        # mirror, then one device kernel does the median-Hamming vote
+        OBS = 8
+        kf_of = np.full((self.V, OBS), 0, np.int64)
+        kp_of = np.full((self.V, OBS), 0, np.int64)
+        cnt = np.zeros(self.V, np.int64)
+        remap = {int(p): i for i, p in enumerate(ids)}
+        for kf in kfs.tolist():
+            obs = self.kf_obs_np[kf]
+            for kp_i in np.where(obs >= 0)[0]:
+                li = remap.get(int(obs[kp_i]))
+                if li is not None and cnt[li] < OBS:
+                    kf_of[li, cnt[li]] = kf
+                    kp_of[li, cnt[li]] = kp_i
+                    cnt[li] += 1
+        self.arrays = refresh_landmarks_kernel(
+            self.arrays,
+            jnp.asarray(ids_p.astype(np.int32)),
+            jnp.asarray(kf_of.astype(np.int32)),
+            jnp.asarray(kp_of.astype(np.int32)),
+            jnp.asarray(cnt.astype(np.int32)),
+        )
+        self.version += 1
 
     # -- epipolar triangulation of new landmarks -------------------------------
     def create_new_points(self, slot: int, max_neighbours: int = 3) -> int:

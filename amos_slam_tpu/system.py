@@ -232,10 +232,13 @@ class System:
                 self.last_kf_frame = frame_id
                 self.last_kf_inliers = n_lm
                 self.map.create_new_points(self.ref_kf)
+                self.map.fuse_neighbors(self.ref_kf)
                 # cull BEFORE dispatching local BA: culling's counter fetch
                 # would otherwise sync on the BA compute; this order lets
                 # the ~200 ms BA overlap with subsequent tracking frames
                 self.map.cull_points()
+                self.map.cull_keyframes(self.ref_kf)
+                self.map.refresh_landmarks(self.ref_kf)
                 self.map.run_local_ba(self.ref_kf)
                 made_kf = True
                 if self.loop is not None and self.loop.on_keyframe(self.ref_kf):
@@ -328,6 +331,14 @@ class System:
 
         load_map(path, self.map)
         self.ref_kf = max(self.map.n_kfs - 1, 0)
+
+    def global_refine(self):
+        """Full-map refinement (reference global BA): pose graph over all
+        keyframes + batched structure-only landmark refit."""
+        self._flush_pending()
+        from .loop.global_ba import run_global_refinement
+
+        run_global_refinement(self.map)
 
     def shutdown(self):
         """Resolve pending supervision and drain dispatched device work."""
@@ -570,7 +581,10 @@ class System:
             # (LocalMapping::CreateNewMapPoints) -- essential for mono,
             # extends RGB-D beyond the depth range
             self.map.create_new_points(self.ref_kf)
+            self.map.fuse_neighbors(self.ref_kf)
             self.map.cull_points()
+            self.map.cull_keyframes(self.ref_kf)
+            self.map.refresh_landmarks(self.ref_kf)
             self.map.run_local_ba(self.ref_kf)
             made_kf = True
             if self.loop is not None and self.loop.on_keyframe(self.ref_kf):
