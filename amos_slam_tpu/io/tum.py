@@ -88,16 +88,24 @@ def associate(rgb_list, depth_list, max_dt: float = 0.02):
 
 
 class TumRGBDDataset:
-    """Iterates (gray, depth, rgb, timestamp) over a TUM sequence dir."""
+    """Iterates (gray, depth, rgb, timestamp) over a TUM sequence dir.
+
+    Uses the native C++ prefetching decoder (io/native_loader.py) when the
+    shared library is available -- PNG decode + luma/depth conversion happen
+    in a worker thread pool ahead of the tracker -- and falls back to
+    PIL/imageio otherwise.
+    """
 
     def __init__(
         self,
         root: str,
         assoc_file: Optional[str] = None,
         depth_factor: float = 5000.0,
+        native: bool = True,
     ):
         self.root = root
         self.depth_factor = depth_factor
+        self._native = None
         if assoc_file is None:
             assoc_file = os.path.join(root, "associations.txt")
         if os.path.exists(assoc_file):
@@ -109,6 +117,16 @@ class TumRGBDDataset:
                 TumAssociation(t, os.path.join(root, r), os.path.join(root, d))
                 for t, r, d in associate(rgbs, depths)
             ]
+        if native:
+            try:
+                from . import native_loader
+
+                self._native = native_loader.NativePrefetchLoader(
+                    [(a.timestamp, a.rgb_path, a.depth_path) for a in self.items],
+                    depth_factor=depth_factor,
+                )
+            except Exception:
+                self._native = None
 
     @staticmethod
     def _read_list(path: str):
@@ -126,6 +144,9 @@ class TumRGBDDataset:
         return len(self.items)
 
     def __getitem__(self, i: int):
+        if self._native is not None:
+            gray, depth, rgb, ts = self._native[i]
+            return gray, depth, rgb, ts
         a = self.items[i]
         rgb = _imread(a.rgb_path)
         depth_raw = _imread(a.depth_path)
