@@ -9,6 +9,11 @@ embarrassingly parallel -- no collectives are semantically required -- so
 XLA partitions the batched program with zero communication; the mesh exists
 so one jitted program drives all chips and keeps per-stream state resident
 on its own shard.
+
+Each step runs the full fused frame program (extraction + motion-model +
+local-map tracking + pose/velocity update, frontend/tracking.py) per
+stream; per-stream map views are batched ``LocalView`` pytrees (use
+:func:`empty_views` for pure-odometry streams).
 """
 
 from __future__ import annotations
@@ -16,13 +21,14 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..frontend.features import ORBPipeline, FrameFeatures
-from ..frontend.tracking import track_motion_model, TrackStepResult
-from ..geometry import se3
+from ..frontend.tracking import fused_frame_step
+from ..slam_map.slam_map import LocalView
 
 
 class StreamState(NamedTuple):
@@ -31,14 +37,24 @@ class StreamState(NamedTuple):
     feats: FrameFeatures
     Tcw: jax.Array        # (S, 4, 4)
     velocity: jax.Array   # (S, 4, 4)
-    initialized: jax.Array  # (S,) bool
 
 
 def make_stream_mesh(devices=None, axis: str = "stream") -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    import numpy as np
-
     return Mesh(np.asarray(devices), (axis,))
+
+
+def empty_views(S: int, V: int) -> LocalView:
+    """Batched empty local views (odometry-only streams)."""
+    return LocalView(
+        ids=jnp.full((S, V), -1, jnp.int32),
+        pos=jnp.zeros((S, V, 3)),
+        desc=jnp.zeros((S, V, 256), jnp.int8),
+        normal=jnp.zeros((S, V, 3)),
+        min_dist=jnp.zeros((S, V)),
+        max_dist=jnp.full((S, V), 1e9),
+        valid=jnp.zeros((S, V), bool),
+    )
 
 
 def init_state(pipeline: ORBPipeline, images, depths) -> StreamState:
@@ -48,10 +64,7 @@ def init_state(pipeline: ORBPipeline, images, depths) -> StreamState:
     )
     S = images.shape[0]
     eye = jnp.broadcast_to(jnp.eye(4), (S, 4, 4))
-    return StreamState(
-        feats=feats, Tcw=eye, velocity=eye,
-        initialized=jnp.ones((S,), bool),
-    )
+    return StreamState(feats=feats, Tcw=eye, velocity=eye)
 
 
 def multistream_step(
@@ -59,50 +72,43 @@ def multistream_step(
     state: StreamState,
     images: jax.Array,   # (S, H, W)
     depths: jax.Array,   # (S, H, W)
-    radius: jax.Array,   # ()
+    views: LocalView,    # batched (S, ...) local views
+    mm_radius: jax.Array,
+    map_radius: jax.Array,
+    min_lm: int = 30,
 ):
-    """One tracking step for every stream: the 'training step' of this
-    framework. Fully jittable; shard the leading axis over the mesh."""
-
-    feats = jax.vmap(lambda im, d: pipeline.extract(im, depth_image=d))(
-        images, depths
-    )
-    T_pred = state.velocity @ state.Tcw
-
+    """One fused tracking step for every stream: the 'training step' of
+    this framework. Fully jittable; shard the leading axis over the mesh."""
     res = jax.vmap(
-        lambda c, l, lt, tp: track_motion_model(
-            pipeline.cam, c, l, lt, tp, radius
+        lambda im, d, last, T, vel, vw: fused_frame_step(
+            pipeline, im, d, last, T, vel, vw, mm_radius, map_radius,
+            min_lm=min_lm,
         )
-    )(feats, state.feats, state.Tcw, T_pred)
-
-    # LOST guard per stream (mask form of the host-side logic).
-    ok = res.num_inliers >= 10
-    Tcw = jnp.where(ok[:, None, None], res.Tcw, state.Tcw)
-    vel = jnp.where(
-        ok[:, None, None],
-        Tcw @ se3.inv_T(state.Tcw),
-        jnp.broadcast_to(jnp.eye(4), Tcw.shape),
-    )
+    )(images, depths, state.feats, state.Tcw, state.velocity, views)
     new_state = StreamState(
-        feats=feats, Tcw=Tcw, velocity=vel, initialized=state.initialized
+        feats=res.feats, Tcw=res.Tcw, velocity=res.velocity
     )
-    return new_state, res
+    return new_state, res.counts
 
 
-def shard_step(pipeline: ORBPipeline, mesh: Mesh, axis: str = "stream"):
+def shard_step(pipeline: ORBPipeline, mesh: Mesh, axis: str = "stream",
+               min_lm: int = 30):
     """jit the multistream step with stream-axis shardings over ``mesh``."""
     batch = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    def step(state, images, depths, radius):
-        return multistream_step(pipeline, state, images, depths, radius)
+    def step(state, images, depths, views, mm_radius, map_radius):
+        return multistream_step(
+            pipeline, state, images, depths, views, mm_radius, map_radius,
+            min_lm=min_lm,
+        )
 
-    # ``batch`` as a pytree prefix shards every leaf of the state along the
-    # stream axis; per-stream state stays resident on its shard across steps
-    # (donated), so steady-state needs no host round-trips.
+    # ``batch`` as a pytree prefix shards every leaf of the state/views
+    # along the stream axis; per-stream state stays resident on its shard
+    # across steps (donated), so steady-state needs no host round-trips.
     return jax.jit(
         step,
-        in_shardings=(batch, batch, batch, repl),
+        in_shardings=(batch, batch, batch, batch, repl, repl),
         out_shardings=(batch, batch),
         donate_argnums=(0,),
     )

@@ -70,6 +70,9 @@ class System:
         self.timestamps = []
         self.poses_cw = []
         self.stats = []
+        # localization-only mode (reference ActivateLocalizationMode,
+        # src/System.cc: tracking continues, the map is frozen)
+        self.localization_only = False
 
         # pipelined fast path: pending (result, view, frame_id) to resolve
         self._pending = None
@@ -224,7 +227,7 @@ class System:
                 )
                 or n_lm < 50
             )
-            if need_kf:
+            if need_kf and not self.localization_only:
                 kp_point = np.array(res.lm.kp_point_id)
                 self.ref_kf = self.map.insert_keyframe(
                     res.feats, res.Tcw, kp_point, frame_id
@@ -331,6 +334,31 @@ class System:
 
         load_map(path, self.map)
         self.ref_kf = max(self.map.n_kfs - 1, 0)
+
+    def activate_localization_mode(self):
+        """Track against the existing map without extending it
+        (reference System::ActivateLocalizationMode)."""
+        self._flush_pending()
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self._flush_pending()
+        self.localization_only = False
+
+    def reset(self):
+        """Drop the map and tracking state (reference System::Reset)."""
+        self._flush_pending()
+        self.map = SlamMap(self.cfg, self.cam)
+        self.loop = None
+        self.state = TrackingState.NOT_INITIALIZED
+        self.last_feats = None
+        self.last_Tcw = jnp.eye(4)
+        self.velocity = jnp.eye(4)
+        self.ref_kf = 0
+        self.last_kf_frame = -999
+        self.last_kf_inliers = 0
+        self._mono_ref = None
+        self._pending = None
 
     def global_refine(self):
         """Full-map refinement (reference global BA): pose graph over all
@@ -479,9 +507,20 @@ class System:
             return
         from .loop.loop_closing import LoopCloser
         if self._vocabulary is None:
-            from .loop.vocabulary import train_vocabulary
-            desc = np.array(feats.desc)[np.array(feats.valid)]
-            self._vocabulary = train_vocabulary(desc, k=8, depth=3, iters=5)
+            # ship a default vocabulary pretrained on diverse synthetic
+            # scenes (amos_slam_tpu/data); train session-locally only if
+            # the asset is unavailable
+            import os
+            default = os.path.join(
+                os.path.dirname(__file__), "data", "default_vocab.npz"
+            )
+            if os.path.exists(default):
+                from .loop.vocab_io import load_npz
+                self._vocabulary = load_npz(default)
+            else:
+                from .loop.vocabulary import train_vocabulary
+                desc = np.array(feats.desc)[np.array(feats.valid)]
+                self._vocabulary = train_vocabulary(desc, k=8, depth=3, iters=5)
         self.loop = LoopCloser(self.cfg, self.cam, self._vocabulary, self.map)
 
     def _track(self, feats: FrameFeatures) -> jax.Array:
@@ -569,7 +608,7 @@ class System:
             or n_lm < 50
         )
         made_kf = False
-        if need_kf and n_lm >= tcfg.min_inliers_local_map:
+        if need_kf and n_lm >= tcfg.min_inliers_local_map and not self.localization_only:
             if kp_point is None:
                 kp_point = np.array(lm.kp_point_id)
             self.ref_kf = self.map.insert_keyframe(

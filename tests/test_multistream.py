@@ -45,15 +45,18 @@ def test_multistream_sharded_step():
     state = ms.init_state(
         pipeline, jnp.asarray(frames[0]), jnp.asarray(depths[0])
     )
+    views = ms.empty_views(S, 256)
     step = ms.shard_step(pipeline, mesh)
-    radius = jnp.asarray(10.0)
+    r1 = jnp.asarray(10.0)
+    r2 = jnp.asarray(6.0)
     for k in (1, 2):
-        state, res = step(
-            state, jnp.asarray(frames[k]), jnp.asarray(depths[k]), radius
+        state, counts = step(
+            state, jnp.asarray(frames[k]), jnp.asarray(depths[k]), views,
+            r1, r2,
         )
-    inl = np.asarray(res.num_inliers)
-    assert inl.shape == (S,)
-    assert (inl > 10).all(), inl
+    c = np.asarray(counts)
+    assert c.shape == (S, 2)
+    assert (c[:, 0] > 10).all(), c   # motion-model inliers per stream
     # all streams see identical input -> identical poses
     T = np.asarray(state.Tcw)
     np.testing.assert_allclose(T, np.broadcast_to(T[0], T.shape), atol=1e-5)
