@@ -96,6 +96,12 @@ def compute_dynamics(
     # appearance failures -- typically disocclusion trails behind a moving
     # object -- and must not vote, or the trail's background clusters get
     # flagged dynamic.
+    # subsample flow sources: 512 well-spread corners carry the same
+    # epipolar/cluster-vote signal at half the LK gather cost
+    N_all = flow_pts.shape[0]
+    if N_all > 512:
+        flow_pts = flow_pts[::2][:512]
+        flow_pts_valid = flow_pts_valid[::2][:512]
     flow = lk_flow(prev_gray, cur_gray, flow_pts, flow_pts_valid)
     good_track = flow.valid & (flow.err < track_err_th)
 

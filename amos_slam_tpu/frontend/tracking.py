@@ -181,6 +181,73 @@ def fused_frame_step(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnums=(0,),
+    static_argnames=("min_lm", "n_clusters", "slic_cell", "dilate_radius"),
+)
+def fused_dynamic_step(
+    pipe,                      # ORBPipeline (static, hashed by config)
+    image: jax.Array,
+    depth: jax.Array,
+    seg_mask: jax.Array,       # (H, W) stage-1 semantic mask (zeros if none)
+    prev_image: jax.Array,
+    prev_depth: jax.Array,
+    last: FrameFeatures,
+    last_Tcw: jax.Array,
+    velocity: jax.Array,
+    view,                      # slam_map.LocalView
+    key: jax.Array,
+    mm_radius: jax.Array,
+    map_radius: jax.Array,
+    min_lm: int = 30,
+    epi_outlier_th: float = 1.0,
+    mean_rpe_th: float = 3.0,
+    n_clusters: int = 15,
+    slic_cell: int = 16,
+    dilate_radius: int = 15,
+) -> "FusedStepResult":
+    """The FULL Amos per-frame program: detection, the two-stage dynamic
+    rejection (LK flow, F-RANSAC, PnP arbitration, SLIC clustering, cluster
+    votes), masked description, and both tracking stages -- ONE XLA dispatch
+    for the flagship anti-dynamics pipeline (the reference pays a per-frame
+    C++ -> Python -> CUDA hop for stage 1 alone, SURVEY.md section 2d P6)."""
+    from ..slam_map.slam_map import track_local_map
+    from .dynamics import compute_dynamics
+
+    T_pred = se3.orthonormalize(velocity @ last_Tcw)
+    kp, pyr, blurred = pipe.detect_keypoints(image)
+    dyn = compute_dynamics(
+        pipe.cam, prev_image, prev_depth, image, depth, seg_mask,
+        last_Tcw, T_pred, last.kp.xy, last.kp.valid, key,
+        epi_outlier_th=epi_outlier_th, mean_rpe_th=mean_rpe_th,
+        n_clusters=n_clusters, slic_cell=slic_cell,
+        dilate_radius=dilate_radius,
+    )
+    feats = pipe.describe(kp, blurred, depth, dyn.suppress_mask)
+    mm = track_motion_model(
+        pipe.cam, feats, last, last_Tcw, T_pred, mm_radius
+    )
+    ok_mm = mm.num_inliers >= 10
+    T0 = jnp.where(ok_mm, mm.Tcw, last_Tcw)
+    lm = track_local_map(
+        pipe.cam, feats, view, T0,
+        jnp.where(ok_mm, map_radius, map_radius * 3.0),
+    )
+    ok_lm = lm.num_inliers >= min_lm
+    Tcw = jnp.where(ok_lm, lm.Tcw, T0)
+    tracked = ok_lm | ok_mm
+    vel_new = jnp.where(
+        tracked,
+        se3.orthonormalize(Tcw @ se3.inv_T(last_Tcw)),
+        jnp.eye(4),
+    )
+    Tcw = jnp.where(tracked, Tcw, last_Tcw)
+    counts = jnp.stack([mm.num_inliers, lm.num_inliers])
+    return FusedStepResult(
+        feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts
+    )
+
+
 class RGBDOdometry:
     """Host-side odometry loop (constant-velocity model, no map yet).
 

@@ -112,20 +112,47 @@ class System:
         # (keyframes, relocalization) and can consume frame i's inlier
         # counts while frame i+1 computes. This hides the device->host
         # round trip, which costs more than the entire frame's compute.
-        if (
+        use_dyn_fast = (
+            self.cfg.use_dynamics
+            and self.state is TrackingState.OK
+            and self.prev_gray is not None
+            and self.prev_depth is not None
+        )
+        use_plain_fast = (
             not self.cfg.use_dynamics
             and seg_mask is None
             and self.state is TrackingState.OK
-        ):
-            from .frontend.tracking import fused_frame_step
+        )
+        if use_dyn_fast or use_plain_fast:
+            from .frontend.tracking import fused_dynamic_step, fused_frame_step
 
             tcfg = self.cfg.tracking
+            dcfg = self.cfg.dynamics
             view = self.map.local_view(self.ref_kf)
-            res = fused_frame_step(
-                self.pipeline, g, d, self.last_feats, self.last_Tcw,
-                self.velocity, view, self._r_mm, self._r_map,
-                min_lm=tcfg.min_inliers_local_map,
-            )
+            if use_dyn_fast:
+                seg = (
+                    jnp.asarray(seg_mask).astype(bool)
+                    if seg_mask is not None
+                    else jnp.zeros(g.shape, bool)
+                )
+                res = fused_dynamic_step(
+                    self.pipeline, g, d, seg, self.prev_gray, self.prev_depth,
+                    self.last_feats, self.last_Tcw, self.velocity, view,
+                    jax.random.PRNGKey(self.frame_id),
+                    self._r_mm, self._r_map,
+                    min_lm=tcfg.min_inliers_local_map,
+                    epi_outlier_th=dcfg.epipolar_outlier_th,
+                    mean_rpe_th=dcfg.mean_rpe_th,
+                    n_clusters=dcfg.n_clusters,
+                    slic_cell=dcfg.slic_cell,
+                    dilate_radius=dcfg.mask_dilate_radius,
+                )
+            else:
+                res = fused_frame_step(
+                    self.pipeline, g, d, self.last_feats, self.last_Tcw,
+                    self.velocity, view, self._r_mm, self._r_map,
+                    min_lm=tcfg.min_inliers_local_map,
+                )
             try:
                 res.counts.copy_to_host_async()
             except AttributeError:
