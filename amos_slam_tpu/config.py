@@ -134,7 +134,8 @@ class MapConfig:
     max_obs_per_kf: int = 1024         # == ORBConfig.max_kpts
     covis_weight_th: int = 15
     local_window: int = 16             # KFs in local BA
-    fixed_window: int = 16
+    fixed_window: int = 8              # frontier KFs held fixed in local BA
+    ba_max_points: int = 2048          # landmark slots per local BA solve
 
 
 @dataclass(frozen=True)

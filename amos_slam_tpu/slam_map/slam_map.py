@@ -367,6 +367,7 @@ class SlamMap:
         my_obs = self.kf_obs_np[slot]
         fused = 0
         merges = {}
+        dispatched = []
         for nb in kfs[1:].tolist():
             # match slot's landmark-backed keypoints against nb's keypoints
             d = hamming.hamming_matrix(a.kf_desc[slot], a.kf_desc[nb])
@@ -384,10 +385,16 @@ class SlamMap:
                 hamming.apply_mask(d, ok & wmask), max_dist=50,
                 nn_ratio=0.9, mutual=True,
             )
-            rv = np.asarray(
-                jnp.stack([res.idx.astype(jnp.float32),
-                           res.valid.astype(jnp.float32)])
-            )
+            dispatched.append((nb, res))
+        rvs = (
+            np.asarray(jnp.stack([
+                jnp.stack([r.idx.astype(jnp.float32),
+                           r.valid.astype(jnp.float32)])
+                for _, r in dispatched
+            ])) if dispatched else np.zeros((0, 2, 1))
+        )
+        for di, (nb, res) in enumerate(dispatched):
+            rv = rvs[di]
             midx = rv[0].astype(np.int64)
             mval = rv[1] > 0
             nb_obs = self.kf_obs_np[nb]
@@ -502,18 +509,29 @@ class SlamMap:
         kfs = self.local_keyframes(slot, max_neighbours + 1)
         created = 0
         obs_slot = self.kf_obs_np[slot]
-        for nb in kfs[1:]:
-            nb = int(nb)
-            un_a = jnp.asarray(obs_slot < 0)
+        # dispatch every neighbour's triangulation, then ONE batched fetch
+        # (each separate device->host read is a full tunnel round trip)
+        neighbours = [int(nb) for nb in kfs[1:]]
+        results = []
+        un_a = jnp.asarray(obs_slot < 0)
+        for nb in neighbours:
             un_b = jnp.asarray(self.kf_obs_np[nb] < 0)
-            res = triangulate_pair(
+            results.append(triangulate_pair(
                 self.cam,
                 a.kf_xy[slot], a.kf_desc[slot], a.kf_kp_valid[slot], un_a,
                 a.kf_angle[slot], a.kf_pose[slot],
                 a.kf_xy[nb], a.kf_desc[nb], a.kf_kp_valid[nb], un_b,
                 a.kf_angle[nb], a.kf_pose[nb],
+            ))
+        if results:
+            goods_all = np.asarray(
+                jnp.stack([r.good for r in results])
             )
-            good = np.array(res.good)
+            match_all = np.asarray(jnp.stack([r.match_j for r in results]))
+            pts_all = np.asarray(jnp.stack([r.points_w for r in results]))
+        for ni, nb in enumerate(neighbours):
+            res = results[ni]
+            good = goods_all[ni].copy()
             # keep only keypoints still unmatched on the host mirror (a
             # previous neighbour pass may have claimed them)
             good &= self.kf_obs_np[slot] < 0
@@ -532,8 +550,8 @@ class SlamMap:
             self.n_pts += n_new
             created += n_new
 
-            pts = np.array(res.points_w)
-            match_j = np.array(res.match_j)
+            pts = pts_all[ni]
+            match_j = match_all[ni]
             # normal/scale range from the creating keyframe's view
             Twc = np.linalg.inv(np.array(a.kf_pose[slot]))
             view = pts - Twc[:3, 3]
@@ -575,9 +593,10 @@ class SlamMap:
         contract: covisible window free, frontier fixed)."""
         Lw = self.cfg.map.local_window
         Fw = self.cfg.map.fixed_window
+        Vba = self.cfg.map.ba_max_points
         window = self.local_keyframes(center_slot, Lw)
         pt_ids = self.local_point_ids(window)
-        P = min(len(pt_ids), self.V)
+        P = min(len(pt_ids), Vba)
         if P == 0 or len(window) < 2:
             return
         if len(pt_ids) > P:
@@ -614,7 +633,7 @@ class SlamMap:
         obs_local[self.kf_obs_np[slots_p] < 0] = -1
         obs_local[~slot_valid] = -1
 
-        Vp = self.V
+        Vp = Vba
         pt_pad = Vp - len(pt_ids)
         pt_ids_p = np.concatenate([pt_ids, np.full(pt_pad, -1, np.int64)])
         gather_pts = jnp.asarray(np.maximum(pt_ids_p, 0).astype(np.int32))
