@@ -45,7 +45,8 @@ class System:
         slam.save_trajectory_tum("CameraTrajectory.txt")
     """
 
-    def __init__(self, cfg: Optional[SystemConfig] = None, vocabulary=None):
+    def __init__(self, cfg: Optional[SystemConfig] = None, vocabulary=None,
+                 debug_dir: Optional[str] = None):
         self.cfg = cfg or SystemConfig()
         self.pipeline = ORBPipeline(self.cfg.orb, self.cfg.camera)
         self.cam = self.pipeline.cam
@@ -79,6 +80,13 @@ class System:
         tc = self.cfg.tracking
         self._r_mm = jnp.asarray(tc.match_radius_motion)
         self._r_map = jnp.asarray(tc.match_radius_map * 2.0)
+
+        # per-frame debug artifact dumping (the reference writes
+        # output/<id>_rgb/_seg/_mask.png every frame, src/Tracking.cc:392-396)
+        self.debug_dir = debug_dir
+        if debug_dir:
+            import os
+            os.makedirs(debug_dir, exist_ok=True)
 
         # previous-frame state for the dynamic stage
         self.prev_gray = None
@@ -171,6 +179,8 @@ class System:
             self._pending = (res, view, self.frame_id)
             if prev is not None:
                 self._resolve_step(*prev)
+            if self.debug_dir is not None:
+                self._dump_debug(res.feats, g)
             return res.Tcw
 
         self._flush_pending()
@@ -234,6 +244,19 @@ class System:
             Tcw = self._track(feats)
         return self._finish_frame(feats, Tcw, g, None, timestamp)
 
+    def _dump_debug(self, feats, gray):
+        from . import viewer
+
+        overlay = viewer.draw_frame(np.asarray(gray), feats)
+        try:
+            from PIL import Image
+
+            Image.fromarray(overlay).save(
+                f"{self.debug_dir}/{self.frame_id:06d}_frame.png"
+            )
+        except ImportError:
+            np.save(f"{self.debug_dir}/{self.frame_id:06d}_frame.npy", overlay)
+
     # ---------------------------------------------------- pipelined resolve
     def _resolve_step(self, res, view, frame_id: int):
         """Lagged host supervision of a fused fast-path frame: state
@@ -289,6 +312,8 @@ class System:
             self._resolve_step(*p)
 
     def _finish_frame(self, feats, Tcw, gray, depth, timestamp):
+        if self.debug_dir is not None:
+            self._dump_debug(feats, gray)
         self.last_feats = feats
         self.last_Tcw = Tcw
         self.prev_gray = gray
