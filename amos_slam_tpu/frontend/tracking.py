@@ -248,6 +248,62 @@ def fused_dynamic_step(
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("min_lm",))
+def fused_stereo_step(
+    pipe,                      # ORBPipeline (static, hashed by config)
+    left: jax.Array,
+    right: jax.Array,
+    last: FrameFeatures,
+    last_Tcw: jax.Array,
+    velocity: jax.Array,
+    view,                      # slam_map.LocalView
+    mm_radius: jax.Array,
+    map_radius: jax.Array,
+    min_z: jax.Array,
+    min_lm: int = 30,
+) -> FusedStepResult:
+    """One-dispatch stereo frame: L/R extraction (the reference's two
+    std::threads, src/Frame.cc:161-170, here two fused subgraphs), subpixel
+    stereo matching, and both tracking stages + the state update."""
+    from ..ops.stereo import match_stereo
+    from ..slam_map.slam_map import track_local_map
+
+    T_pred = se3.orthonormalize(velocity @ last_Tcw)
+    kp_l, _, bl = pipe.detect_keypoints(left)
+    kp_r, _, br = pipe.detect_keypoints(right)
+    fl = pipe.describe(kp_l, bl)
+    fr = pipe.describe(kp_r, br)
+    sm = match_stereo(
+        fl.desc, kp_l.xy, kp_l.level, fl.valid,
+        fr.desc, kp_r.xy, kp_r.level, fr.valid,
+        bl[0], br[0], pipe.cam.bf, min_z,
+    )
+    feats = fl._replace(depth=sm.depth, u_right=sm.u_right)
+
+    mm = track_motion_model(
+        pipe.cam, feats, last, last_Tcw, T_pred, mm_radius
+    )
+    ok_mm = mm.num_inliers >= 10
+    T0 = jnp.where(ok_mm, mm.Tcw, last_Tcw)
+    lm = track_local_map(
+        pipe.cam, feats, view, T0,
+        jnp.where(ok_mm, map_radius, map_radius * 3.0),
+    )
+    ok_lm = lm.num_inliers >= min_lm
+    Tcw = jnp.where(ok_lm, lm.Tcw, T0)
+    tracked = ok_lm | ok_mm
+    vel_new = jnp.where(
+        tracked,
+        se3.orthonormalize(Tcw @ se3.inv_T(last_Tcw)),
+        jnp.eye(4),
+    )
+    Tcw = jnp.where(tracked, Tcw, last_Tcw)
+    counts = jnp.stack([mm.num_inliers, lm.num_inliers])
+    return FusedStepResult(
+        feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts
+    )
+
+
 class RGBDOdometry:
     """Host-side odometry loop (constant-velocity model, no map yet).
 

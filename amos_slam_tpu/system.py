@@ -206,15 +206,46 @@ class System:
         """
         from .ops.stereo import match_stereo
 
-        self._flush_pending()
         self.frame_id += 1
         gl = jnp.asarray(left)
         gr = jnp.asarray(right)
+        min_z = self.cam.bf / self.cam.fx  # disparity <= fx => depth >= b
+
+        # pipelined fused fast path, like track_rgbd
+        if self.state is TrackingState.OK:
+            from .frontend.tracking import fused_stereo_step
+
+            tcfg = self.cfg.tracking
+            view = self.map.local_view(self.ref_kf)
+            res = fused_stereo_step(
+                self.pipeline, gl, gr, self.last_feats, self.last_Tcw,
+                self.velocity, view, self._r_mm, self._r_map,
+                jnp.asarray(min_z), min_lm=tcfg.min_inliers_local_map,
+            )
+            try:
+                res.counts.copy_to_host_async()
+            except AttributeError:
+                pass
+            self.last_feats = res.feats
+            self.last_Tcw = res.Tcw
+            self.velocity = res.velocity
+            self.prev_kp_xy = res.feats.kp.xy
+            self.prev_kp_valid = res.feats.kp.valid
+            self.timestamps.append(timestamp)
+            self.poses_cw.append(res.Tcw)
+            prev = self._pending
+            self._pending = (res, view, self.frame_id)
+            if prev is not None:
+                self._resolve_step(*prev)
+            if self.debug_dir is not None:
+                self._dump_debug(res.feats, gl)
+            return res.Tcw
+
+        self._flush_pending()
         kp_l, _, bl = self.pipeline.detect_keypoints(gl)
         kp_r, _, br = self.pipeline.detect_keypoints(gr)
         fl = self.pipeline.describe(kp_l, bl)
         fr = self.pipeline.describe(kp_r, br)
-        min_z = self.cam.bf / self.cam.fx  # disparity <= fx => depth >= b
         sm = match_stereo(
             fl.desc, kp_l.xy, kp_l.level, fl.valid,
             fr.desc, kp_r.xy, kp_r.level, fr.valid,
