@@ -126,13 +126,15 @@ class LoopCloser:
         # also exclude temporally recent keyframes
         neighbours.update(range(max(0, slot - 4), slot + 1))
 
+        from .vocabulary import bow_vector, l1_score
+
         min_score = 1e-3
-        scores = []
-        for nb in np.where(covis_row >= self.cfg.map.covis_weight_th)[0]:
-            if nb in self.db.kf_bow:
-                from .vocabulary import bow_vector, l1_score
-                nz, vals = bow_vector(words, weights, self.voc.n_words)
-                scores.append(l1_score(nz, vals, *self.db.kf_bow[nb]))
+        nz, vals = bow_vector(words, weights, self.voc.n_words)
+        scores = [
+            l1_score(nz, vals, *self.db.kf_bow[nb])
+            for nb in np.where(covis_row >= self.cfg.map.covis_weight_th)[0]
+            if nb in self.db.kf_bow
+        ]
         if scores:
             min_score = max(min(scores), 1e-3)
 

@@ -190,16 +190,10 @@ def bow_vector(words: np.ndarray, weights: np.ndarray, n_words: int):
 
 def l1_score(w1, v1, w2, v2) -> float:
     """DBoW2 L1 similarity: 1 - 0.5*|v1 - v2|_1 over the union support
-    (ScoringObject.cpp), computed on the sparse host representation."""
-    i = j = 0
-    common = 0.0
-    while i < len(w1) and j < len(w2):
-        if w1[i] == w2[j]:
-            common += min(v1[i], v2[j])
-            i += 1
-            j += 1
-        elif w1[i] < w2[j]:
-            i += 1
-        else:
-            j += 1
-    return float(common)
+    (ScoringObject.cpp) = sum of min over common words; vectorized
+    (a python merge loop here showed up in keyframe-path profiles)."""
+    common, i1, i2 = np.intersect1d(w1, w2, assume_unique=True,
+                                    return_indices=True)
+    if len(common) == 0:
+        return 0.0
+    return float(np.minimum(v1[i1], v2[i2]).sum())

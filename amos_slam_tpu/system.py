@@ -316,14 +316,17 @@ class System:
                 self.last_kf_frame = frame_id
                 self.last_kf_inliers = n_lm
                 self.map.create_new_points(self.ref_kf)
-                self.map.fuse_neighbors(self.ref_kf)
-                # cull BEFORE dispatching local BA: culling's counter fetch
-                # would otherwise sync on the BA compute; this order lets
-                # the ~200 ms BA overlap with subsequent tracking frames
-                self.map.cull_points()
-                self.map.cull_keyframes(self.ref_kf)
-                self.map.refresh_landmarks(self.ref_kf)
-                self.map.run_local_ba(self.ref_kf)
+                # heavier maintenance on a cadence: fusion/culling/refresh
+                # act on slowly-accumulating redundancy; every keyframe is
+                # wasted work (the reference's LocalMapping also skips
+                # these under load via its interrupt flags)
+                if self.ref_kf % 3 == 1:
+                    self.map.fuse_neighbors(self.ref_kf)
+                    self.map.cull_points()
+                    self.map.cull_keyframes(self.ref_kf)
+                    self.map.refresh_landmarks(self.ref_kf)
+                if self.ref_kf % 2 == 1 or self.ref_kf < 4:
+                    self.map.run_local_ba(self.ref_kf)
                 made_kf = True
                 if self.loop is not None and self.loop.on_keyframe(self.ref_kf):
                     self.last_Tcw = self.map.arrays.kf_pose[self.ref_kf]
@@ -703,11 +706,13 @@ class System:
             # (LocalMapping::CreateNewMapPoints) -- essential for mono,
             # extends RGB-D beyond the depth range
             self.map.create_new_points(self.ref_kf)
-            self.map.fuse_neighbors(self.ref_kf)
-            self.map.cull_points()
-            self.map.cull_keyframes(self.ref_kf)
-            self.map.refresh_landmarks(self.ref_kf)
-            self.map.run_local_ba(self.ref_kf)
+            if self.ref_kf % 3 == 1:
+                self.map.fuse_neighbors(self.ref_kf)
+                self.map.cull_points()
+                self.map.cull_keyframes(self.ref_kf)
+                self.map.refresh_landmarks(self.ref_kf)
+            if self.ref_kf % 2 == 1 or self.ref_kf < 4:
+                self.map.run_local_ba(self.ref_kf)
             made_kf = True
             if self.loop is not None and self.loop.on_keyframe(self.ref_kf):
                 # loop closed: keyframe poses were rewritten -- resync the

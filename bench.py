@@ -29,7 +29,7 @@ def main():
     from amos_slam_tpu.io import synthetic, evaluate
 
     cfg = SystemConfig(use_dynamics=False)
-    n_frames = 40
+    n_frames = 100
     planes = synthetic.default_room(seed=1)
     poses = synthetic.orbit_trajectory(n_frames, radius=0.1, advance=0.25)
     frames = [
@@ -45,10 +45,16 @@ def main():
 
     run(System(cfg))                       # warmup: compile everything
     slam = System(cfg)
+    frame_times = []
     t0 = time.perf_counter()
-    run(slam)
+    for i, (g, d) in enumerate(frames):
+        tf = time.perf_counter()
+        slam.track_rgbd(g, d, i / 30.0)
+        frame_times.append(time.perf_counter() - tf)
+    slam.shutdown()
     dt = time.perf_counter() - t0
     fps = n_frames / dt
+    steady_ms = float(np.median(frame_times)) * 1e3
 
     est = np.asarray([np.asarray(T) for T in slam.poses_cw])
     gt = np.asarray(poses)
@@ -90,6 +96,8 @@ def main():
             "keyframes": slam.map.n_kfs,
             "map_points": slam.map.n_pts,
             "state": slam.state.name,
+            "steady_state_fps": round(1e3 / steady_ms, 2),
+            "steady_state_ms": round(steady_ms, 2),
             "two_stage_with_yolact_fps": round(dyn_fps, 2),
             "note": "full System.track_rgbd fused path, 640x480, live map",
         },
