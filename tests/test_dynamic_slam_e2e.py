@@ -53,6 +53,32 @@ def test_two_stage_rejection_beats_baseline(dynamic_sequence):
     assert ate_dyn < 0.7 * ate_off or ate_off < 0.02, (ate_dyn, ate_off)
 
 
+def test_two_stage_on_dominant_mover():
+    """A fast mover covering ~half the image (like a person crossing close
+    to the camera in TUM walking): unprotected tracking degrades ~4x; the
+    geometric stage keeps accuracy."""
+    from amos_slam_tpu.io.synthetic import Plane, _block_texture
+
+    n = 24
+    poses = synthetic.orbit_trajectory(n, radius=0.1, advance=0.2)
+    frames = []
+    for i in range(n):
+        t = i / 30.0
+        planes = synthetic.default_room(seed=1)
+        x0 = -1.5 + 2.0 * t
+        planes.append(Plane(
+            2, 1.6, (x0, x0 + 1.2, -1.2, 1.2),
+            _block_texture(np.random.default_rng(99), block=6), tex_scale=90.0,
+        ))
+        g, d, ids = synthetic.render(planes, poses[i], return_ids=True)
+        frames.append((g, d, ids == len(planes) - 1))
+
+    ate_on = ate(run(frames, use_dynamics=True), poses)
+    ate_off = ate(run(frames, use_dynamics=False), poses)
+    assert ate_on < 0.01, f"two-stage ATE {ate_on:.4f}"
+    assert ate_off > 2.0 * ate_on, (ate_on, ate_off)
+
+
 def test_stage1_seg_mask_also_protects(dynamic_sequence):
     poses_gt, frames = dynamic_sequence
     slam = run(frames, use_dynamics=False, seg=True)  # stage 1 only
