@@ -83,6 +83,29 @@ def main():
     run_dyn(slam_d)
     dyn_fps = n_frames / (time.perf_counter() - t0)
 
+    # local-BA solves/sec (BASELINE.json tracked metric): representative
+    # problem = 16 free + 8 fixed cameras, 2048 landmark slots, 10 LM iters
+    from amos_slam_tpu.solvers.local_ba import solve_local_ba
+    from amos_slam_tpu.slam_map.slam_map import _gather_ba_inputs  # noqa
+
+    m = slam.map
+    window = m.local_keyframes(m.n_kfs - 1, cfg.map.local_window)
+    prob = None
+    if len(window) >= 2:
+        # rebuild the same problem run_local_ba would solve
+        import amos_slam_tpu.slam_map.slam_map as SM
+
+        solves = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < 3.0:
+            m.version += 1          # defeat any caching
+            m.run_local_ba(m.n_kfs - 1)
+            jax.block_until_ready(m.arrays.kf_pose)
+            solves += 1
+        ba_per_sec = solves / (time.perf_counter() - t0)
+    else:
+        ba_per_sec = float("nan")
+
     result = {
         "metric": "rgbd_slam_tracking_fps",
         "value": round(fps, 2),
@@ -99,6 +122,7 @@ def main():
             "steady_state_fps": round(1e3 / steady_ms, 2),
             "steady_state_ms": round(steady_ms, 2),
             "two_stage_with_yolact_fps": round(dyn_fps, 2),
+            "local_ba_solves_per_sec": round(ba_per_sec, 2),
             "note": "full System.track_rgbd fused path, 640x480, live map",
         },
     }
