@@ -419,11 +419,20 @@ class SlamMap:
                         merges[lose] = keep
                         fused += 1
             if gained:
-                js = jnp.asarray(np.asarray([g[0] for g in gained], np.int32))
-                vs = jnp.asarray(np.asarray([g[1] for g in gained], np.int32))
-                self.arrays = self.arrays._replace(
-                    kf_obs=self.arrays.kf_obs.at[nb, js].set(vs)
-                )
+                # fixed pad: variable index shapes would recompile the
+                # scatter per distinct count (minutes over a remote tunnel)
+                PAD = 256
+                for start in range(0, len(gained), PAD):
+                    chunk = gained[start : start + PAD]
+                    js = np.zeros(PAD, np.int32)
+                    vs = np.full(PAD, -1, np.int32)
+                    js[: len(chunk)] = [g[0] for g in chunk]
+                    vs[: len(chunk)] = [g[1] for g in chunk]
+                    self.arrays = self.arrays._replace(
+                        kf_obs=self.arrays.kf_obs.at[nb, jnp.asarray(js)].max(
+                            jnp.asarray(vs)
+                        )
+                    )
         if merges:
             self._apply_merges(merges)
             self.version += 1
@@ -457,10 +466,18 @@ class SlamMap:
         a = self.arrays
         obs = a.kf_obs
         new_obs = jnp.where(obs >= 0, lut_j[jnp.maximum(obs, 0)], obs)
-        self.arrays = a._replace(
-            kf_obs=new_obs,
-            pt_valid=a.pt_valid.at[jnp.asarray(lose.astype(np.int32))].set(False),
-        )
+        # fixed-pad the loser invalidation (M-1 is the reserved scratch slot)
+        PAD = 512
+        lose_p = np.full(((len(lose) + PAD - 1) // PAD) * PAD, self.M - 1,
+                         np.int64)
+        lose_p[: len(lose)] = lose
+        pt_valid = a.pt_valid
+        for start in range(0, len(lose_p), PAD):
+            pt_valid = pt_valid.at[
+                jnp.asarray(lose_p[start : start + PAD].astype(np.int32))
+            ].set(False)
+        pt_valid = pt_valid.at[self.M - 1].set(False)  # scratch stays dead
+        self.arrays = a._replace(kf_obs=new_obs, pt_valid=pt_valid)
 
     # -- landmark statistics refresh -------------------------------------------
     def refresh_landmarks(self, slot: int):
@@ -691,12 +708,18 @@ class SlamMap:
         if len(cull) == 0:
             return
         self.pt_alive[cull] = False
-        pad = -np.ones((-len(cull)) % 256, np.int64)   # pad to a stable shape
-        cull_p = np.concatenate([cull, pad])
         self.version += 1
-        self.arrays = cull_points_kernel(
-            self.arrays, jnp.asarray(cull_p.astype(np.int32))
-        )
+        # FIXED pad size: a variable pad means a fresh XLA compile per new
+        # size (minutes each through a remote-compile tunnel); chunk if the
+        # cull set ever exceeds the pad
+        PAD = 2048
+        for start in range(0, len(cull), PAD):
+            chunk = cull[start : start + PAD]
+            cull_p = np.full(PAD, -1, np.int64)
+            cull_p[: len(chunk)] = chunk
+            self.arrays = cull_points_kernel(
+                self.arrays, jnp.asarray(cull_p.astype(np.int32))
+            )
         # host mirror: erase observations
         hit = np.isin(self.kf_obs_np, cull)
         self.kf_obs_np[hit] = -1
