@@ -249,6 +249,44 @@ def fused_dynamic_step(
 
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("min_lm",))
+def fused_frame_scan(
+    pipe,                      # ORBPipeline (static, hashed by config)
+    images: jax.Array,         # (K, H, W) a chunk of consecutive frames
+    depths: jax.Array,         # (K, H, W)
+    last: FrameFeatures,
+    last_Tcw: jax.Array,
+    velocity: jax.Array,
+    view,                      # slam_map.LocalView (fixed across the chunk)
+    mm_radius: jax.Array,
+    map_radius: jax.Array,
+    min_lm: int = 30,
+):
+    """Throughput mode: K consecutive frames as ONE lax.scan program.
+
+    The device state chain (features, pose, velocity) advances entirely
+    on-chip; the host supervises once per CHUNK instead of per frame, so
+    dispatch and read-back overheads amortize by K. Keyframe decisions
+    happen at chunk boundaries (K frames of latency at most -- ~130 ms for
+    K=4 at 30 fps input). Returns the final state plus per-frame poses and
+    counts for the whole chunk.
+    """
+
+    def step(carry, frame):
+        last, last_Tcw, velocity = carry
+        image, depth = frame
+        res = fused_frame_step(
+            pipe, image, depth, last, last_Tcw, velocity, view,
+            mm_radius, map_radius, min_lm=min_lm,
+        )
+        return (res.feats, res.Tcw, res.velocity), (res.Tcw, res.counts)
+
+    (feats, Tcw, vel), (poses, counts) = jax.lax.scan(
+        step, (last, last_Tcw, velocity), (images, depths)
+    )
+    return feats, Tcw, vel, poses, counts
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("min_lm",))
 def fused_stereo_step(
     pipe,                      # ORBPipeline (static, hashed by config)
     left: jax.Array,
