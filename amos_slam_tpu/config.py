@@ -148,6 +148,13 @@ class SystemConfig:
     use_dynamics: bool = True
     use_segmentation: bool = True
     sensor: str = "rgbd"               # rgbd | stereo | mono
+    deterministic: bool = False        # resolve frame i's host supervision
+                                       # before dispatching frame i+1. Run-to-
+                                       # run reproducible (keyframe insertion
+                                       # timing no longer depends on tunnel
+                                       # latency) at the cost of one blocking
+                                       # device read per frame -- use for
+                                       # tests/eval, not deployment
 
 
 # ---------------------------------------------------------------------------

@@ -47,7 +47,7 @@ def track_motion_model(
     radius: jax.Array,
     max_dist: int = 100,
     opt_rounds: int = 2,
-    opt_iters: int = 8,
+    opt_iters: int = 5,
 ) -> TrackStepResult:
     """Match last frame's depth-backed keypoints into the current frame by
     projection window, then run motion-only BA.
@@ -96,7 +96,8 @@ def track_motion_model(
             valid=res.valid,
         )
         return res, optimize_pose(
-            T_center, cam, obs, rounds=opt_rounds, iters_per_round=opt_iters
+            T_center, cam, obs, rounds=opt_rounds, iters_per_round=opt_iters,
+            unroll=True,
         )
 
     # Pass 1: window around the motion prediction. Pass 2: re-match with a
@@ -129,6 +130,21 @@ class FusedStepResult(NamedTuple):
     Tcw: jax.Array              # () selected pose
     velocity: jax.Array         # updated constant-velocity model
     counts: jax.Array           # (2,) int32 [mm_inliers, lm_inliers]
+    sup: jax.Array              # (2+3N,) int32 packed supervision vector:
+                                # [counts, kp_point_id, kp_valid, depth>0] --
+                                # everything host supervision (state machine
+                                # + keyframe insertion) needs, in ONE array
+                                # so the reader thread fetches it in a single
+                                # tunnel round trip per frame
+
+
+def _pack_supervision(counts, lm, feats) -> jax.Array:
+    return jnp.concatenate([
+        counts.astype(jnp.int32),
+        lm.kp_point_id.astype(jnp.int32),
+        feats.valid.astype(jnp.int32),
+        (feats.depth > 0).astype(jnp.int32),
+    ])
 
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("min_lm",))
@@ -177,7 +193,8 @@ def fused_frame_step(
     Tcw = jnp.where(tracked, Tcw, last_Tcw)
     counts = jnp.stack([mm.num_inliers, lm.num_inliers])
     return FusedStepResult(
-        feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts
+        feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts,
+        sup=_pack_supervision(counts, lm, feats),
     )
 
 
@@ -244,7 +261,8 @@ def fused_dynamic_step(
     Tcw = jnp.where(tracked, Tcw, last_Tcw)
     counts = jnp.stack([mm.num_inliers, lm.num_inliers])
     return FusedStepResult(
-        feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts
+        feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts,
+        sup=_pack_supervision(counts, lm, feats),
     )
 
 
@@ -338,7 +356,8 @@ def fused_stereo_step(
     Tcw = jnp.where(tracked, Tcw, last_Tcw)
     counts = jnp.stack([mm.num_inliers, lm.num_inliers])
     return FusedStepResult(
-        feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts
+        feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts,
+        sup=_pack_supervision(counts, lm, feats),
     )
 
 

@@ -108,11 +108,13 @@ def undistort_points(cam: Camera, uv: jax.Array, iters: int = 8) -> jax.Array:
     y0 = (uv[..., 1] - cam.cy) / cam.fy
     xy0 = jnp.stack([x0, y0], axis=-1)
 
-    def body(_, xy):
+    # unrolled (a lax.fori_loop here cost ~2.5 ms for 1024 points on v5e --
+    # per-iteration loop overhead dwarfs the elementwise math; unrolled, XLA
+    # fuses the whole fixed-point iteration into one kernel)
+    xy = xy0
+    for _ in range(iters):
         d = distort_normalized(cam, xy) - xy
-        return xy0 - d
-
-    xy = jax.lax.fori_loop(0, iters, body, xy0)
+        xy = xy0 - d
     u = xy[..., 0] * cam.fx + cam.cx
     v = xy[..., 1] * cam.fy + cam.cy
     return jnp.stack([u, v], axis=-1)

@@ -30,8 +30,24 @@ from ..solvers.sim3_solver import ransac_sim3
 from ..solvers.pnp import ransac_pnp
 from ..solvers.pose_graph import PoseGraphProblem, optimize_pose_graph
 from ..slam_map.slam_map import SlamMap
-from .vocabulary import Vocabulary, transform
+from .vocabulary import Vocabulary, transform, _transform_impl
 from .kf_database import KeyFrameDatabase
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("k", "depth"))
+def _bow_for_slot(arrays, slot, levels, node_valid, idf, k: int, depth: int):
+    """BoW transform of a stored keyframe's descriptors in ONE program
+    (the eager kf_desc[slot]/kf_kp_valid[slot] gathers each paid a full
+    tunnel round trip). Returns packed (2, N) float32 [word, weight]."""
+    desc = arrays.kf_desc[slot]
+    valid = arrays.kf_kp_valid[slot]
+    words = _transform_impl(levels, node_valid, desc, k, depth)
+    w = idf[words]
+    words = jnp.where(valid, words, -1)
+    w = jnp.where(valid, w, 0.0)
+    return jnp.stack([words.astype(jnp.float32), w])
 
 
 class LoopCloser:
@@ -50,13 +66,11 @@ class LoopCloser:
     def on_keyframe(self, slot: int) -> bool:
         """Process a freshly inserted keyframe; returns True if a loop was
         closed (poses/points were rewritten)."""
-        a = self.map.arrays
-        desc = a.kf_desc[slot]
-        valid = a.kf_kp_valid[slot]
-        words, weights = transform(self.voc, desc, valid)
-        ww = np.asarray(
-            jnp.stack([words.astype(jnp.float32), weights])
-        )  # one host read instead of two
+        ww = np.asarray(_bow_for_slot(
+            self.map.arrays, jnp.asarray(slot, jnp.int32),
+            self.voc.levels, self.voc.node_valid, self.voc.idf,
+            self.voc.k, self.voc.depth,
+        ))  # one dispatch + one host read
         words_np = ww[0].astype(np.int64)
         weights_np = ww[1]
 

@@ -27,6 +27,7 @@ def save_map(path: str, slam_map) -> None:
         pt_obs_count=slam_map.pt_obs_count,
         pt_birth_kf=slam_map.pt_birth_kf,
         pt_alive=slam_map.pt_alive,
+        kf_alive=slam_map.kf_alive,
     )
 
 
@@ -45,3 +46,9 @@ def load_map(path: str, slam_map) -> None:
     slam_map.pt_obs_count = z["pt_obs_count"]
     slam_map.pt_birth_kf = z["pt_birth_kf"]
     slam_map.pt_alive = z["pt_alive"]
+    if "kf_alive" in z:
+        slam_map.kf_alive = z["kf_alive"]
+    else:   # older checkpoints: every stored keyframe slot is alive
+        slam_map.kf_alive = np.arange(slam_map.K) < slam_map.n_kfs
+    slam_map.version += 1
+    slam_map._view_cache = {}

@@ -115,10 +115,12 @@ def track_local_map(
         inv_sigma2=cur.inv_sigma2[j],
         valid=res.valid,
     )
-    # 3 x 8 LM iterations: measured indistinguishable from the reference's
-    # 4 x 10 on ATE (the chi2 reclassification rounds matter, the tail
-    # iterations do not), and ~2 ms cheaper per frame.
-    opt = optimize_pose(Tcw0, cam, obs, rounds=3, iters_per_round=8)
+    # 3 rounds x 4 unrolled GN iterations: measured indistinguishable from
+    # the reference's 4 x 10 LM on ATE (the chi2 reclassification rounds
+    # matter, the tail iterations and the accept/reject re-evaluation do
+    # not), and several ms cheaper per frame on v5e (see optimize_pose).
+    opt = optimize_pose(Tcw0, cam, obs, rounds=3, iters_per_round=4,
+                        unroll=True)
 
     # Per frame-keypoint landmark id: scatter-max over row->col matches
     # (init -1; losers write -1, duplicate targets resolve deterministically).
@@ -148,6 +150,149 @@ def _gather_view(a: MapArrays, ids_p: jax.Array) -> "LocalView":
         min_dist=a.pt_min_dist[gather],
         max_dist=a.pt_max_dist[gather],
         valid=(ids_p >= 0) & a.pt_valid[gather],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched keyframe-maintenance kernels.
+#
+# Everything below exists to make keyframe-rate maintenance ONE dispatch +
+# (at most) ONE host fetch per operation. The eager per-neighbour versions
+# paid a full tunnel round trip (~20-180 ms measured) for EVERY eager jnp op,
+# which made a single keyframe insertion cost seconds.
+# ---------------------------------------------------------------------------
+
+NB_PAD = 4   # fixed neighbour-slot pad shared by fuse/triangulation kernels
+
+
+@jax.jit
+def _fuse_match_kernel(
+    a: MapArrays, cam: Camera, slot: jax.Array,
+    nbs: jax.Array, nb_ok: jax.Array, my_obs: jax.Array,
+):
+    """Duplicate-candidate matching between ``slot`` and up to NB_PAD
+    covisible neighbours (ORBmatcher::Fuse search stage,
+    src/ORBmatcher.cc:1020): project slot's landmarks into each neighbour,
+    window-match descriptors. Returns packed (2, NB_PAD, N) int32
+    [match idx, match valid] for a single host fetch."""
+    mine_has = my_obs >= 0
+    desc_s = a.kf_desc[slot]
+    kpv_s = a.kf_kp_valid[slot]
+    pts = a.pt_pos[jnp.maximum(my_obs, 0)]
+
+    def one(nb, ok_nb):
+        d = hamming.hamming_matrix(desc_s, a.kf_desc[nb])
+        ok = (kpv_s & mine_has)[:, None] & a.kf_kp_valid[nb][None, :]
+        pc = se3.transform_points(a.kf_pose[nb], pts)
+        uv, z = project(cam, pc)
+        wmask = hamming.window_mask(
+            uv, a.kf_xy[nb], 4.0, mine_has & (z > 0.05), a.kf_kp_valid[nb]
+        )
+        res = hamming.match(
+            hamming.apply_mask(d, ok & wmask),
+            max_dist=50, nn_ratio=0.9, mutual=True,
+        )
+        return res.idx, res.valid & ok_nb
+
+    idx, val = jax.vmap(one)(nbs, nb_ok)
+    return jnp.stack([idx.astype(jnp.int32), val.astype(jnp.int32)])
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_obs_kernel(a: MapArrays, nb, js, vs) -> MapArrays:
+    """Record gained observations on neighbour ``nb`` (fixed-pad scatter)."""
+    return a._replace(kf_obs=a.kf_obs.at[nb, js].max(vs))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _apply_merges_kernel(a: MapArrays, lut, lose) -> MapArrays:
+    """Rewrite observation ids through a merge LUT and kill loser landmarks
+    (MapPoint::Replace, src/MapPoint.cc:244). ``lose`` is -1 padded."""
+    M = a.pt_pos.shape[0]
+    obs = a.kf_obs
+    new_obs = jnp.where(obs >= 0, lut[jnp.maximum(obs, 0)], obs)
+    ids = jnp.where(lose >= 0, lose, M - 1)
+    pt_valid = a.pt_valid.at[ids].set(
+        jnp.where(lose >= 0, False, a.pt_valid[ids])
+    )
+    pt_valid = pt_valid.at[M - 1].set(False)   # scratch slot stays dead
+    return a._replace(kf_obs=new_obs, pt_valid=pt_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("scale_factor", "n_levels"))
+def _triangulate_batch_kernel(
+    a: MapArrays, cam: Camera, slot: jax.Array,
+    nbs: jax.Array, nb_ok: jax.Array,
+    un_slot: jax.Array, un_nbs: jax.Array,
+    scale_factor: float = 1.2, n_levels: int = 8,
+):
+    """Triangulate ``slot`` against up to NB_PAD neighbours in ONE program
+    (LocalMapping::CreateNewMapPoints, src/LocalMapping.cc:313), with the
+    landmark normals/scale ranges computed on device. Returns a packed
+    (2, NB_PAD, N) int32 [match_j, good] host-fetch plus device-resident
+    point attributes for :func:`_add_points_batch_kernel`."""
+    xy1 = a.kf_xy[slot]
+    desc1 = a.kf_desc[slot]
+    v1 = a.kf_kp_valid[slot]
+    ang1 = a.kf_angle[slot]
+    T1 = a.kf_pose[slot]
+
+    def one(nb, ok_nb, un_b):
+        r = triangulate_pair(
+            cam,
+            xy1, desc1, v1, un_slot, ang1, T1,
+            a.kf_xy[nb], a.kf_desc[nb], a.kf_kp_valid[nb], un_b,
+            a.kf_angle[nb], a.kf_pose[nb],
+        )
+        return r.points_w, r.match_j, r.good & ok_nb
+
+    X, mj, good = jax.vmap(one)(nbs, nb_ok, un_nbs)
+    Twc = se3.inv_T(T1)
+    view = X - Twc[:3, 3]
+    dist = jnp.linalg.norm(view, axis=-1)
+    normal = view / jnp.maximum(dist, 1e-9)[..., None]
+    max_d = dist * scale_factor
+    min_d = max_d / (scale_factor ** (n_levels - 1))
+    packed = jnp.stack([mj.astype(jnp.int32), good.astype(jnp.int32)])
+    return packed, X, normal, min_d, max_d
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _add_points_batch_kernel(
+    m: MapArrays,
+    ids: jax.Array,      # (NB_PAD, N) new landmark ids (-1 pad)
+    pos: jax.Array,      # (NB_PAD, N, 3)
+    normal: jax.Array,   # (NB_PAD, N, 3)
+    min_d: jax.Array,    # (NB_PAD, N)
+    max_d: jax.Array,    # (NB_PAD, N)
+    slot: jax.Array,     # () creating keyframe
+    nbs: jax.Array,      # (NB_PAD,)
+    kp_a: jax.Array,     # (NB_PAD, N) keypoint index in slot (-1 pad)
+    kp_b: jax.Array,     # (NB_PAD, N) keypoint index in neighbour (-1 pad)
+) -> MapArrays:
+    """Insert all neighbours' triangulated landmarks in ONE dispatch."""
+    desc = m.kf_desc[slot]
+    for i in range(ids.shape[0]):    # NB_PAD, unrolled at trace time
+        m = add_points_kernel(
+            m, ids[i], pos[i], desc, normal[i], min_d[i], max_d[i],
+            slot.astype(jnp.int32), slot.astype(jnp.int32), kp_a[i],
+            nbs[i].astype(jnp.int32), kp_b[i],
+        )
+    return m
+
+
+@jax.jit
+def _pt_stats_kernel(a: MapArrays) -> jax.Array:
+    """(2, M) stacked [visible, found] counters for one host fetch."""
+    return jnp.stack([a.pt_visible, a.pt_found])
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _remove_kf_kernel(a: MapArrays, kf: jax.Array) -> MapArrays:
+    return a._replace(
+        kf_valid=a.kf_valid.at[kf].set(False),
+        kf_kp_valid=a.kf_kp_valid.at[kf].set(False),
+        kf_obs=a.kf_obs.at[kf].set(-1),
     )
 
 
@@ -185,6 +330,7 @@ class SlamMap:
         self._view_cache = {}     # (ref_slot, version) -> LocalView
         self.kf_obs_np = np.full((self.K, N), -1, np.int64)   # mirror
         self.kf_frame_id = np.full(self.K, -1, np.int64)
+        self.kf_alive = np.zeros(self.K, bool)                # kf_valid mirror
         self.covis = np.zeros((self.K, self.K), np.int32)
         self.pt_obs_count = np.zeros(self.M, np.int32)
         self.pt_birth_kf = np.full(self.M, -1, np.int32)
@@ -197,6 +343,7 @@ class SlamMap:
         Tcw: jax.Array,
         kp_point_id: np.ndarray,   # (N,) matched landmark per keypoint (-1)
         frame_id: int,
+        valid_close=None,          # optional prefetched (valid, close) bools
     ) -> int:
         """Insert a keyframe; create landmarks for unmatched close-depth
         keypoints (Tracking::CreateNewKeyFrame, src/Tracking.cc:2210)."""
@@ -204,14 +351,18 @@ class SlamMap:
         slot = self.n_kfs
         self.n_kfs += 1
         self.kf_frame_id[slot] = frame_id
+        self.kf_alive[slot] = True
 
-        # one batched host read (each separate read is a tunnel round trip)
-        vd = np.asarray(
-            jnp.stack([feats.valid.astype(jnp.float32),
-                       (feats.depth > 0).astype(jnp.float32)])
-        )
-        valid = vd[0] > 0
-        close = vd[1] > 0
+        if valid_close is not None:
+            valid, close = valid_close
+        else:
+            # one batched host read (each separate read is a tunnel round trip)
+            vd = np.asarray(
+                jnp.stack([feats.valid.astype(jnp.float32),
+                           (feats.depth > 0).astype(jnp.float32)])
+            )
+            valid = vd[0] > 0
+            close = vd[1] > 0
 
         # tracking may have matched against a cached (pre-cull) view snapshot;
         # drop references to landmarks that died in the meantime
@@ -270,15 +421,16 @@ class SlamMap:
 
     def _update_covisibility(self, slot: int):
         """Shared-landmark counts vs all existing KFs (KeyFrame::
-        UpdateConnections, src/KeyFrame.cc:386) -- host numpy set math."""
+        UpdateConnections, src/KeyFrame.cc:386) -- vectorized host numpy
+        (a python set loop here cost ~n_kfs ms per keyframe)."""
         mine = self.kf_obs_np[slot]
-        mine = set(mine[mine >= 0].tolist())
-        for k in range(self.n_kfs):
-            if k == slot:
-                continue
-            theirs = self.kf_obs_np[k]
-            w = len(mine.intersection(theirs[theirs >= 0].tolist()))
-            self.covis[slot, k] = self.covis[k, slot] = w
+        member = np.zeros(self.M, bool)
+        member[mine[mine >= 0]] = True
+        obs = self.kf_obs_np[: self.n_kfs]
+        w = (member[np.maximum(obs, 0)] & (obs >= 0)).sum(axis=1)
+        w[slot] = 0
+        self.covis[slot, : self.n_kfs] = w
+        self.covis[: self.n_kfs, slot] = w
 
     # -- local views ---------------------------------------------------------
     def local_keyframes(self, ref_slot: int, max_kfs: int) -> np.ndarray:
@@ -325,7 +477,7 @@ class SlamMap:
         culled = 0
         cands = self.local_keyframes(around, self.cfg.map.local_window)
         for kf in cands.tolist():
-            if kf == 0 or kf == around or not bool(self.arrays.kf_valid[kf]):
+            if kf == 0 or kf == around or not self.kf_alive[kf]:
                 continue
             obs = self.kf_obs_np[kf]
             ids = obs[obs >= 0]
@@ -348,55 +500,40 @@ class SlamMap:
         self.kf_obs_np[kf] = -1
         self.covis[kf, :] = 0
         self.covis[:, kf] = 0
-        self.arrays = self.arrays._replace(
-            kf_valid=self.arrays.kf_valid.at[kf].set(False),
-            kf_kp_valid=self.arrays.kf_kp_valid.at[kf].set(False),
-            kf_obs=self.arrays.kf_obs.at[kf].set(-1),
-        )
+        self.kf_alive[kf] = False
+        self.arrays = _remove_kf_kernel(self.arrays, jnp.asarray(kf, jnp.int32))
 
     # -- duplicate-landmark fusion ---------------------------------------------
-    def fuse_neighbors(self, slot: int, max_neighbours: int = 4) -> int:
+    def fuse_neighbors(self, slot: int, max_neighbours: int = NB_PAD) -> int:
         """Fuse duplicate landmarks between ``slot`` and its covisible
         keyframes (LocalMapping::SearchInNeighbors + ORBmatcher::Fuse,
         src/LocalMapping.cc:629, src/ORBmatcher.cc:1020): when keypoint k of
         a neighbour matches a landmark of ``slot`` but already observes a
         DIFFERENT landmark, the two landmarks are duplicates -- keep the one
-        with more observations, rewrite the loser's id everywhere."""
+        with more observations, rewrite the loser's id everywhere.
+
+        All device math runs in ONE batched kernel over NB_PAD padded
+        neighbour slots + ONE host fetch; only the merge bookkeeping is
+        host python."""
         kfs = self.local_keyframes(slot, max_neighbours + 1)
-        a = self.arrays
         my_obs = self.kf_obs_np[slot]
+        neighbours = kfs[1:].tolist()
+        if not neighbours:
+            return 0
+        nbs = np.zeros(NB_PAD, np.int64)
+        nb_ok = np.zeros(NB_PAD, bool)
+        nbs[: len(neighbours)] = neighbours
+        nb_ok[: len(neighbours)] = True
+        packed = np.asarray(_fuse_match_kernel(
+            self.arrays, self.cam, jnp.asarray(slot, jnp.int32),
+            jnp.asarray(nbs.astype(np.int32)), jnp.asarray(nb_ok),
+            jnp.asarray(my_obs.astype(np.int32)),
+        ))
         fused = 0
         merges = {}
-        dispatched = []
-        for nb in kfs[1:].tolist():
-            # match slot's landmark-backed keypoints against nb's keypoints
-            d = hamming.hamming_matrix(a.kf_desc[slot], a.kf_desc[nb])
-            mine_has = jnp.asarray(my_obs >= 0)
-            ok = (a.kf_kp_valid[slot] & mine_has)[:, None] & a.kf_kp_valid[nb][None, :]
-            # window by projection of my landmark into nb
-            ids = np.maximum(my_obs, 0)
-            pts = a.pt_pos[jnp.asarray(ids.astype(np.int32))]
-            pc = se3.transform_points(a.kf_pose[nb], pts)
-            uv, z = project(self.cam, pc)
-            wmask = hamming.window_mask(
-                uv, a.kf_xy[nb], 4.0, mine_has & (z > 0.05), a.kf_kp_valid[nb]
-            )
-            res = hamming.match(
-                hamming.apply_mask(d, ok & wmask), max_dist=50,
-                nn_ratio=0.9, mutual=True,
-            )
-            dispatched.append((nb, res))
-        rvs = (
-            np.asarray(jnp.stack([
-                jnp.stack([r.idx.astype(jnp.float32),
-                           r.valid.astype(jnp.float32)])
-                for _, r in dispatched
-            ])) if dispatched else np.zeros((0, 2, 1))
-        )
-        for di, (nb, res) in enumerate(dispatched):
-            rv = rvs[di]
-            midx = rv[0].astype(np.int64)
-            mval = rv[1] > 0
+        for di, nb in enumerate(neighbours):
+            midx = packed[0, di].astype(np.int64)
+            mval = packed[1, di] > 0
             nb_obs = self.kf_obs_np[nb]
             gained = []
             for i in np.where(mval & (my_obs >= 0))[0]:
@@ -428,10 +565,9 @@ class SlamMap:
                     vs = np.full(PAD, -1, np.int32)
                     js[: len(chunk)] = [g[0] for g in chunk]
                     vs[: len(chunk)] = [g[1] for g in chunk]
-                    self.arrays = self.arrays._replace(
-                        kf_obs=self.arrays.kf_obs.at[nb, jnp.asarray(js)].max(
-                            jnp.asarray(vs)
-                        )
+                    self.arrays = _scatter_obs_kernel(
+                        self.arrays, jnp.asarray(nb, jnp.int32),
+                        jnp.asarray(js), jnp.asarray(vs),
                     )
         if merges:
             self._apply_merges(merges)
@@ -461,23 +597,18 @@ class SlamMap:
         self.kf_obs_np[live] = lut[self.kf_obs_np[live]]
         self.pt_obs_count[keep] += self.pt_obs_count[lose]
         self.pt_alive[lose] = False
-        # device rewrite: kf_obs through the same LUT; losers invalidated
-        lut_j = jnp.asarray(lut.astype(np.int32))
-        a = self.arrays
-        obs = a.kf_obs
-        new_obs = jnp.where(obs >= 0, lut_j[jnp.maximum(obs, 0)], obs)
-        # fixed-pad the loser invalidation (M-1 is the reserved scratch slot)
-        PAD = 512
-        lose_p = np.full(((len(lose) + PAD - 1) // PAD) * PAD, self.M - 1,
-                         np.int64)
-        lose_p[: len(lose)] = lose
-        pt_valid = a.pt_valid
-        for start in range(0, len(lose_p), PAD):
-            pt_valid = pt_valid.at[
-                jnp.asarray(lose_p[start : start + PAD].astype(np.int32))
-            ].set(False)
-        pt_valid = pt_valid.at[self.M - 1].set(False)  # scratch stays dead
-        self.arrays = a._replace(kf_obs=new_obs, pt_valid=pt_valid)
+        # device rewrite in ONE kernel: kf_obs through the same LUT; losers
+        # invalidated (fixed -1 pad; chunk in the rare >PAD case)
+        PAD = 2048
+        for start in range(0, max(len(lose), 1), PAD):
+            chunk = lose[start : start + PAD]
+            lose_p = np.full(PAD, -1, np.int64)
+            lose_p[: len(chunk)] = chunk
+            self.arrays = _apply_merges_kernel(
+                self.arrays,
+                jnp.asarray(lut.astype(np.int32)),
+                jnp.asarray(lose_p.astype(np.int32)),
+            )
 
     # -- landmark statistics refresh -------------------------------------------
     def refresh_landmarks(self, slot: int):
@@ -521,33 +652,39 @@ class SlamMap:
     # -- epipolar triangulation of new landmarks -------------------------------
     def create_new_points(self, slot: int, max_neighbours: int = 3) -> int:
         """Triangulate new landmarks between ``slot`` and its best covisible
-        keyframes (LocalMapping::CreateNewMapPoints). Returns #created."""
-        a = self.arrays
+        keyframes (LocalMapping::CreateNewMapPoints). Returns #created.
+
+        ONE batched device program triangulates all neighbours (normals and
+        scale ranges included) + ONE host fetch of the match/good masks; the
+        host assigns landmark ids sequentially (later neighbours cannot
+        re-claim keypoints an earlier one took), then ONE insertion kernel
+        writes every neighbour's points."""
         kfs = self.local_keyframes(slot, max_neighbours + 1)
-        created = 0
         obs_slot = self.kf_obs_np[slot]
-        # dispatch every neighbour's triangulation, then ONE batched fetch
-        # (each separate device->host read is a full tunnel round trip)
-        neighbours = [int(nb) for nb in kfs[1:]]
-        results = []
-        un_a = jnp.asarray(obs_slot < 0)
-        for nb in neighbours:
-            un_b = jnp.asarray(self.kf_obs_np[nb] < 0)
-            results.append(triangulate_pair(
-                self.cam,
-                a.kf_xy[slot], a.kf_desc[slot], a.kf_kp_valid[slot], un_a,
-                a.kf_angle[slot], a.kf_pose[slot],
-                a.kf_xy[nb], a.kf_desc[nb], a.kf_kp_valid[nb], un_b,
-                a.kf_angle[nb], a.kf_pose[nb],
-            ))
-        if results:
-            goods_all = np.asarray(
-                jnp.stack([r.good for r in results])
-            )
-            match_all = np.asarray(jnp.stack([r.match_j for r in results]))
-            pts_all = np.asarray(jnp.stack([r.points_w for r in results]))
+        neighbours = [int(nb) for nb in kfs[1:]][:NB_PAD]
+        if not neighbours:
+            return 0
+        nbs = np.zeros(NB_PAD, np.int64)
+        nb_ok = np.zeros(NB_PAD, bool)
+        nbs[: len(neighbours)] = neighbours
+        nb_ok[: len(neighbours)] = True
+        un_nbs = self.kf_obs_np[nbs] < 0
+        packed, X, normal, min_d, max_d = _triangulate_batch_kernel(
+            self.arrays, self.cam, jnp.asarray(slot, jnp.int32),
+            jnp.asarray(nbs.astype(np.int32)), jnp.asarray(nb_ok),
+            jnp.asarray(obs_slot < 0), jnp.asarray(un_nbs),
+            scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
+        packed = np.asarray(packed)      # the single host fetch
+        match_all = packed[0].astype(np.int64)
+        goods_all = packed[1] > 0
+
+        created = 0
+        N = self.N
+        ids_all = np.full((NB_PAD, N), -1, np.int64)
+        kp_b_all = np.full((NB_PAD, N), -1, np.int64)
         for ni, nb in enumerate(neighbours):
-            res = results[ni]
             good = goods_all[ni].copy()
             # keep only keypoints still unmatched on the host mirror (a
             # previous neighbour pass may have claimed them)
@@ -561,37 +698,13 @@ class SlamMap:
                 n_new = cap
             if n_new == 0:
                 continue
-            N = self.N
             ids = np.full(N, -1, np.int64)
             ids[good] = self.n_pts + np.arange(n_new)
             self.n_pts += n_new
             created += n_new
-
-            pts = pts_all[ni]
             match_j = match_all[ni]
-            # normal/scale range from the creating keyframe's view
-            Twc = np.linalg.inv(np.array(a.kf_pose[slot]))
-            view = pts - Twc[:3, 3]
-            dist = np.linalg.norm(view, axis=-1)
-            normal = view / np.maximum(dist, 1e-9)[:, None]
-            max_d = dist * 1.2
-            min_d = max_d / (1.2 ** (self.cfg.orb.n_levels - 1))
-
-            self.arrays = add_points_kernel(
-                self.arrays,
-                jnp.asarray(ids.astype(np.int32)),
-                jnp.asarray(pts.astype(np.float32)),
-                self.arrays.kf_desc[slot],
-                jnp.asarray(normal.astype(np.float32)),
-                jnp.asarray(min_d.astype(np.float32)),
-                jnp.asarray(max_d.astype(np.float32)),
-                jnp.asarray(slot, jnp.int32),
-                jnp.asarray(slot, jnp.int32),
-                jnp.asarray(np.where(good, np.arange(N), -1).astype(np.int32)),
-                jnp.asarray(nb, jnp.int32),
-                jnp.asarray(np.where(good, match_j, -1).astype(np.int32)),
-            )
-            a = self.arrays
+            ids_all[ni] = ids
+            kp_b_all[ni] = np.where(good, match_j, -1)
             # host mirrors
             self.kf_obs_np[slot][good] = ids[good]
             self.kf_obs_np[nb][match_j[good]] = ids[good]
@@ -600,6 +713,16 @@ class SlamMap:
             self.pt_birth_kf[cids] = slot
             self.pt_obs_count[cids] = 2
         if created:
+            kp_a_all = np.where(ids_all >= 0, np.arange(N)[None, :], -1)
+            self.arrays = _add_points_batch_kernel(
+                self.arrays,
+                jnp.asarray(ids_all.astype(np.int32)),
+                X, normal, min_d, max_d,
+                jnp.asarray(slot, jnp.int32),
+                jnp.asarray(nbs.astype(np.int32)),
+                jnp.asarray(kp_a_all.astype(np.int32)),
+                jnp.asarray(kp_b_all.astype(np.int32)),
+            )
             self._update_covisibility(slot)
             self.version += 1
         return created
@@ -690,9 +813,7 @@ class SlamMap:
     def cull_points(self):
         """Reference MapPointCulling: drop landmarks with found/visible < 0.25
         or stuck at <=2 observations several KFs after creation."""
-        both = np.asarray(
-            jnp.stack([self.arrays.pt_visible, self.arrays.pt_found])
-        )
+        both = np.asarray(_pt_stats_kernel(self.arrays))
         vis, fnd = both[0], both[1]
         alive = self.pt_alive.copy()
         alive_ids = np.where(alive)[0]

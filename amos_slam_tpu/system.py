@@ -11,7 +11,10 @@ loop/ (see that package).
 
 from __future__ import annotations
 
+import collections
 import enum
+import queue
+import threading
 from typing import Optional
 
 import numpy as np
@@ -32,6 +35,80 @@ class TrackingState(enum.Enum):
     NOT_INITIALIZED = 0
     OK = 1
     LOST = 2
+
+
+class _SupervisionReader:
+    """Background thread that materializes packed supervision vectors.
+
+    A blocking device->host read releases the GIL, so a side thread hides
+    the whole transfer latency behind the main thread's dispatch work
+    (measured on the axon tunnel: ~30 ms RTT per read fully overlapped).
+    If reads are slower than frames arrive, the thread groups everything
+    queued into ONE stacked fetch, so read throughput scales with group
+    size and supervision lag stays bounded. Results come out in FIFO order.
+
+    This replaces the reference's LocalMapping/LoopClosing consumer-thread
+    queues (src/LocalMapping.cc:176): here the worker only *reads*; all map
+    mutation stays on the caller's thread, keeping the no-locks functional
+    map design.
+    """
+
+    _MAX_GROUP = 8
+
+    def __init__(self):
+        self._in = queue.Queue()
+        self._out = collections.deque()
+        self._thread = None
+
+    def submit(self, item):
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+        self._in.put(item)
+
+    def _run(self):
+        while True:
+            item = self._in.get()
+            if item is None:
+                self._in.task_done()
+                return
+            group = [item]
+            try:
+                while len(group) < self._MAX_GROUP:
+                    group.append(self._in.get_nowait())
+            except queue.Empty:
+                pass
+            n_got = len(group)
+            stop = any(g is None for g in group)
+            group = [g for g in group if g is not None]
+            if len(group) == 1:
+                sups = np.asarray(group[0][0].sup)[None]
+            elif group:
+                sups = np.asarray(jnp.stack([res.sup for res, _, _ in group]))
+            for (res, view, frame_id), sup in zip(group, sups):
+                self._out.append((res, view, frame_id, sup))
+            for _ in range(n_got):
+                self._in.task_done()
+            if stop:
+                return
+
+    def drain(self):
+        """Non-blocking: everything already materialized, oldest first."""
+        out = []
+        while self._out:
+            out.append(self._out.popleft())
+        return out
+
+    def flush(self):
+        """Block until every submitted frame is materialized, then drain."""
+        if self._thread is not None and self._thread.is_alive():
+            self._in.join()
+        return self.drain()
+
+    def stop(self):
+        if self._thread is not None and self._thread.is_alive():
+            self._in.put(None)
+            self._in.join()
 
 
 class System:
@@ -75,8 +152,12 @@ class System:
         # src/System.cc: tracking continues, the map is frozen)
         self.localization_only = False
 
-        # pipelined fast path: pending (result, view, frame_id) to resolve
-        self._pending = None
+        # pipelined fast path: a reader thread materializes each frame's
+        # packed supervision vector concurrently with dispatch; the main
+        # thread drains finished results every frame and runs the state
+        # machine / keyframe decisions on them (lag ~ 1-2 frames = the
+        # tunnel round trip, never blocking dispatch)
+        self._reader = _SupervisionReader()
         tc = self.cfg.tracking
         self._r_mm = jnp.asarray(tc.match_radius_motion)
         self._r_map = jnp.asarray(tc.match_radius_map * 2.0)
@@ -110,6 +191,17 @@ class System:
         self.frame_id += 1
         g = jnp.asarray(gray)
         d = jnp.asarray(depth)
+
+        # resolve whatever supervision the reader finished BEFORE deciding
+        # this frame's path: keyframes inserted here reach this very
+        # frame's local-map view (one frame less supervision lag). In
+        # deterministic mode, *wait* for all of it -- supervision lag is
+        # then exactly zero frames and runs are reproducible.
+        if self.cfg.deterministic:
+            self._flush_pending()
+        else:
+            for done in self._reader.drain():
+                self._resolve_step(*done)
 
         # Fast path: with neither a seg mask nor the geometric stage active,
         # the whole frame -- extraction + both tracking stages + the pose/
@@ -161,10 +253,6 @@ class System:
                     self.velocity, view, self._r_mm, self._r_map,
                     min_lm=tcfg.min_inliers_local_map,
                 )
-            try:
-                res.counts.copy_to_host_async()
-            except AttributeError:
-                pass
             # advance the device state chain immediately
             self.last_feats = res.feats
             self.last_Tcw = res.Tcw
@@ -175,10 +263,9 @@ class System:
             self.timestamps.append(timestamp)
             self.poses_cw.append(res.Tcw)
 
-            prev = self._pending
-            self._pending = (res, view, self.frame_id)
-            if prev is not None:
-                self._resolve_step(*prev)
+            self._reader.submit((res, view, self.frame_id))
+            for done in self._reader.drain():
+                self._resolve_step(*done)
             if self.debug_dir is not None:
                 self._dump_debug(res.feats, g)
             return res.Tcw
@@ -210,6 +297,11 @@ class System:
         gl = jnp.asarray(left)
         gr = jnp.asarray(right)
         min_z = self.cam.bf / self.cam.fx  # disparity <= fx => depth >= b
+        if self.cfg.deterministic:
+            self._flush_pending()
+        else:
+            for done in self._reader.drain():
+                self._resolve_step(*done)
 
         # pipelined fused fast path, like track_rgbd
         if self.state is TrackingState.OK:
@@ -222,10 +314,6 @@ class System:
                 self.velocity, view, self._r_mm, self._r_map,
                 jnp.asarray(min_z), min_lm=tcfg.min_inliers_local_map,
             )
-            try:
-                res.counts.copy_to_host_async()
-            except AttributeError:
-                pass
             self.last_feats = res.feats
             self.last_Tcw = res.Tcw
             self.velocity = res.velocity
@@ -233,10 +321,9 @@ class System:
             self.prev_kp_valid = res.feats.kp.valid
             self.timestamps.append(timestamp)
             self.poses_cw.append(res.Tcw)
-            prev = self._pending
-            self._pending = (res, view, self.frame_id)
-            if prev is not None:
-                self._resolve_step(*prev)
+            self._reader.submit((res, view, self.frame_id))
+            for done in self._reader.drain():
+                self._resolve_step(*done)
             if self.debug_dir is not None:
                 self._dump_debug(res.feats, gl)
             return res.Tcw
@@ -289,13 +376,16 @@ class System:
             np.save(f"{self.debug_dir}/{self.frame_id:06d}_frame.npy", overlay)
 
     # ---------------------------------------------------- pipelined resolve
-    def _resolve_step(self, res, view, frame_id: int):
-        """Lagged host supervision of a fused fast-path frame: state
-        machine, keyframe decision, stats. Runs one frame behind dispatch
-        so the counts read never stalls the device."""
+    def _resolve_step(self, res, view, frame_id: int, sup=None):
+        """Lagged host supervision of one fused fast-path frame: state
+        machine, keyframe decision, stats. `sup` is the frame's packed
+        supervision vector, normally materialized by the reader thread so
+        this never blocks on a device read."""
         tcfg = self.cfg.tracking
-        counts = np.asarray(res.counts)
-        n_mm, n_lm = int(counts[0]), int(counts[1])
+        if sup is None:
+            sup = np.asarray(res.sup)
+        N = self.cfg.orb.max_kpts
+        n_mm, n_lm = int(sup[0]), int(sup[1])
         made_kf = False
         if n_lm >= tcfg.min_inliers_local_map:
             self.state = TrackingState.OK
@@ -309,9 +399,12 @@ class System:
                 or n_lm < 50
             )
             if need_kf and not self.localization_only:
-                kp_point = np.array(res.lm.kp_point_id)
+                kp_point = sup[2 : 2 + N].astype(np.int64)
+                valid = sup[2 + N : 2 + 2 * N] > 0
+                close = sup[2 + 2 * N :] > 0
                 self.ref_kf = self.map.insert_keyframe(
-                    res.feats, res.Tcw, kp_point, frame_id
+                    res.feats, res.Tcw, kp_point, frame_id,
+                    valid_close=(valid, close),
                 )
                 self.last_kf_frame = frame_id
                 self.last_kf_inliers = n_lm
@@ -325,12 +418,19 @@ class System:
                     self.map.cull_points()
                     self.map.cull_keyframes(self.ref_kf)
                     self.map.refresh_landmarks(self.ref_kf)
-                if self.ref_kf % 2 == 1 or self.ref_kf < 4:
-                    self.map.run_local_ba(self.ref_kf)
                 made_kf = True
+                # ORDER MATTERS on the tunnel: the loop closer's BoW fetch
+                # must run BEFORE the local-BA dispatch -- device execution
+                # is in dispatch order, so a read issued after BA would
+                # stall the host for BA's full device time. BA itself is
+                # dispatch-only (nothing reads it) and overlaps subsequent
+                # tracking frames (reference: LocalMapping BA runs in its
+                # own thread for the same reason, src/LocalMapping.cc:122).
                 if self.loop is not None and self.loop.on_keyframe(self.ref_kf):
                     self.last_Tcw = self.map.arrays.kf_pose[self.ref_kf]
                     self.velocity = jnp.eye(4)
+                if self.ref_kf % 2 == 1 or self.ref_kf < 4:
+                    self.map.run_local_ba(self.ref_kf)
         elif n_mm >= 10:
             self.state = TrackingState.OK   # pure odometry frame
         else:
@@ -340,10 +440,8 @@ class System:
         self.stats.append({"matches": n_mm, "inliers": n_lm, "kf": made_kf})
 
     def _flush_pending(self):
-        if self._pending is not None:
-            p = self._pending
-            self._pending = None
-            self._resolve_step(*p)
+        for done in self._reader.flush():
+            self._resolve_step(*done)
 
     def _finish_frame(self, feats, Tcw, gray, depth, timestamp):
         if self.debug_dir is not None:
@@ -444,7 +542,6 @@ class System:
         self.last_kf_frame = -999
         self.last_kf_inliers = 0
         self._mono_ref = None
-        self._pending = None
 
     def global_refine(self):
         """Full-map refinement (reference global BA): pose graph over all
@@ -457,6 +554,7 @@ class System:
     def shutdown(self):
         """Resolve pending supervision and drain dispatched device work."""
         self._flush_pending()
+        self._reader.stop()
         jax.block_until_ready(self.map.arrays)
         jax.block_until_ready(self.last_Tcw)
 
@@ -711,14 +809,16 @@ class System:
                 self.map.cull_points()
                 self.map.cull_keyframes(self.ref_kf)
                 self.map.refresh_landmarks(self.ref_kf)
-            if self.ref_kf % 2 == 1 or self.ref_kf < 4:
-                self.map.run_local_ba(self.ref_kf)
             made_kf = True
+            # reads (loop closer BoW) before the dispatch-only local BA --
+            # see _resolve_step for the tunnel queue-order rationale
             if self.loop is not None and self.loop.on_keyframe(self.ref_kf):
                 # loop closed: keyframe poses were rewritten -- resync the
                 # tracker state to the corrected current keyframe pose
                 Tcw = self.map.arrays.kf_pose[self.ref_kf]
                 self.velocity = jnp.eye(4)
+            if self.ref_kf % 2 == 1 or self.ref_kf < 4:
+                self.map.run_local_ba(self.ref_kf)
 
         self.stats.append({"matches": n_mm, "inliers": n_lm, "kf": made_kf})
         return Tcw

@@ -27,6 +27,9 @@ def run(frames, use_dynamics, seg=False):
         map=MapConfig(max_keyframes=32, max_points=8192),
         tracking=TrackingConfig(max_map_points_local=2048),
         use_dynamics=use_dynamics,
+        # ATE comparisons need run-to-run reproducibility: free-running
+        # supervision makes keyframe timing depend on tunnel latency
+        deterministic=True,
     )
     slam = System(cfg)
     for i, (g, d, mask) in enumerate(frames):
