@@ -100,7 +100,12 @@ class DynamicsConfig:
     slic_iters: int = 5
     epipolar_inlier_th: float = 0.5   # dd <= 0.5 inlier (src/Tracking.cc:939)
     epipolar_outlier_th: float = 1.0  # dd > 1 -> T_M (src/Tracking.cc:1143)
-    flow3d_th: float = 3.0            # |scene flow| gate (src/Tracking.cc:1179)
+    flow3d_th: float = 0.04           # |scene flow| cluster gate, meters/frame
+                                      # (the reference computes vFlow_3d with
+                                      # a unitless >3 gate, src/Tracking.cc:
+                                      # 1179, display-only; here it flags
+                                      # clusters the epipolar vote is blind
+                                      # to -- motion along the epipolar plane)
     mean_rpe_th: float = 3.0          # cluster mean RPE gate (src/Frame.cc:626)
     mask_dilate_radius: int = 15      # seg-mask dilation (src/ORBextractor.cc:1698)
     max_flow_tracks: int = 1024       # static budget for LK tracks

@@ -6,9 +6,12 @@ Tracking::GetSceneFlowObj (reference src/Tracking.cc:850-1186) fused with
 Frame::CalDyna (src/Frame.cc:517-667) into ONE jitted program:
 
   1. pyramidal LK flow on the previous frame's corners      (:896)
-  2. batched F-RANSAC; epipolar residual > 1 px => T_M set  (:927-945, :1133)
-  3. back-project tracks via previous depth; batched PnP-RANSAC pose vs the
-     motion-model pose, arbitrated by inlier count          (:963-1131)
+  2. back-project tracks via previous depth; batched PnP-RANSAC pose vs the
+     motion-model pose, arbitrated by inlier count under a velocity
+     plausibility gate                                      (:963-1131)
+  3. epipolar residual > 1 px => T_M set, under F derived from the winning
+     pose (the reference fits F by RANSAC, :927-945, which inverts on
+     texture-dominant movers -- see step 3 comment)         (:1133)
   4. per-point reprojection errors (mvRpe) under the winner (:1023)
   5. 3D scene flow magnitudes (vFlow_3d)                    (:1149-1184)
   6. SLIC + k-means depth clusters on the current frame     (Frame.cc:525)
@@ -34,7 +37,7 @@ from ..geometry import se3
 from ..geometry.camera import Camera, backproject
 from ..ops.lk import lk_flow
 from ..ops.slic import slic_kmeans, dilate_mask
-from ..solvers.fundamental import ransac_fundamental
+from ..solvers.fundamental import epipolar_distance
 from ..solvers.pnp import ransac_pnp
 
 _P = jax.lax.Precision.HIGHEST
@@ -51,6 +54,15 @@ class DynamicsResult(NamedTuple):
     flow_valid: jax.Array       # (N,) bool
     T_used: jax.Array           # (4, 4) arbitration winner
     used_pnp: jax.Array         # () bool
+
+
+def _masked_median(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """Median of x where mask, 0 if the mask is empty (static shapes)."""
+    vals = jnp.sort(jnp.where(mask, x, jnp.inf))
+    cnt = jnp.sum(mask.astype(jnp.int32))
+    idx = jnp.clip(cnt // 2, 0, x.shape[0] - 1)
+    med = vals[idx]
+    return jnp.where(cnt > 0, med, 0.0)
 
 
 def _reproj_err(cam: Camera, T: jax.Array, pts_w: jax.Array, uv: jax.Array):
@@ -79,13 +91,15 @@ def compute_dynamics(
     key: jax.Array,
     epi_outlier_th: float = 1.0,
     mean_rpe_th: float = 3.0,
-    flow3d_th: float = 3.0,
+    flow3d_th: float = 0.04,    # meters/frame (~1.2 m/s at 30 fps)
     n_clusters: int = 15,
     slic_cell: int = 16,
     slic_iters: int = 5,
     dilate_radius: int = 15,
     slic_compactness: float = 10.0,
     track_err_th: float = 12.0,
+    pnp_gate_rot: float = 0.06,    # rad/frame (~3.4 deg) PnP plausibility
+    pnp_gate_trans: float = 0.15,  # m/frame (4.5 m/s at 30 fps)
 ) -> DynamicsResult:
     H, W = cur_gray.shape
     N = flow_pts.shape[0]
@@ -105,11 +119,7 @@ def compute_dynamics(
     flow = lk_flow(prev_gray, cur_gray, flow_pts, flow_pts_valid)
     good_track = flow.valid & (flow.err < track_err_th)
 
-    # 2. epipolar residuals under robust F (fit on well-tracked points only)
-    fres = ransac_fundamental(flow_pts, flow.pts1, good_track, k1)
-    epi_out = (fres.dist > epi_outlier_th) & good_track
-
-    # 3. 3D from the previous frame's depth; PnP vs motion-model arbitration
+    # 2. 3D from the previous frame's depth; PnP vs motion-model arbitration
     xi = jnp.clip(jnp.round(flow_pts[:, 0]).astype(jnp.int32), 0, W - 1)
     yi = jnp.clip(jnp.round(flow_pts[:, 1]).astype(jnp.int32), 0, H - 1)
     d0 = prev_depth[yi, xi]
@@ -120,8 +130,53 @@ def compute_dynamics(
     pnp = ransac_pnp(cam, pts_w, flow.pts1, has3d, k2)
     err_pred, _ = _reproj_err(cam, T_pred, pts_w, flow.pts1)
     n_pred = jnp.sum((err_pred < 2.0) & has3d)
-    use_pnp = pnp.ok & (pnp.num_inliers > n_pred)
+    # Plausibility gate on the PnP winner: when a textured mover dominates
+    # the flow tracks, PnP-RANSAC locks onto the MOVER's consensus motion;
+    # arbitrating by raw inlier count (the reference rule,
+    # src/Tracking.cc:1023-1131) then inverts the whole rejection -- static
+    # clusters get high RPE under the mover pose and are suppressed. A
+    # mover-consensus pose implies an implausible velocity jump vs the
+    # constant-velocity prediction, so bound the PnP-vs-prediction
+    # discrepancy (rotation and translation per frame) before trusting it.
+    rel = pnp.Tcw @ se3.inv_T(T_pred)
+    cos_ang = 0.5 * (jnp.trace(rel[:3, :3]) - 1.0)
+    rot_ok = cos_ang > jnp.cos(pnp_gate_rot)
+    trans_ok = jnp.linalg.norm(rel[:3, 3]) < pnp_gate_trans
+    use_pnp = pnp.ok & (pnp.num_inliers > n_pred) & rot_ok & trans_ok
     T_used = jnp.where(use_pnp, pnp.Tcw, T_pred)
+
+    # 3. epipolar residuals under F DERIVED FROM THE WINNING POSE. The
+    # reference fits F to the flow correspondences with RANSAC
+    # (src/Tracking.cc:927-945), which inverts on texture-dominant movers:
+    # the mover's correspondences form the consensus, its F wins, and the
+    # *static* points become the "outliers". With a trusted pose chain the
+    # fundamental matrix is determined -- F = K^-T [t]x R K^-1 of the
+    # prev->cur relative pose -- so moving points are epipolar outliers no
+    # matter how much of the image they cover (and the per-frame
+    # 256-hypothesis RANSAC disappears from the hot path).
+    rel_pc = T_used @ se3.inv_T(last_Tcw)
+    E = se3.hat(rel_pc[:3, 3]) @ rel_pc[:3, :3]
+    inv_fx, inv_fy = 1.0 / cam.fx, 1.0 / cam.fy
+    Kinv = jnp.stack([
+        jnp.stack([inv_fx, 0.0 * inv_fx, -cam.cx * inv_fx]),
+        jnp.stack([0.0 * inv_fx, inv_fy, -cam.cy * inv_fy]),
+        jnp.stack([0.0 * inv_fx, 0.0 * inv_fx, 1.0 + 0.0 * inv_fx]),
+    ])
+    F_pose = Kinv.T @ E @ Kinv
+    epi_dist = epipolar_distance(F_pose, flow_pts, flow.pts1)
+    # ADAPTIVE outlier gates. Absolute thresholds (the reference's 1 px /
+    # 3 px, src/Tracking.cc:1143, src/Frame.cc:626) assume the pose chain
+    # is pixel-accurate; when texture is weak the predicted pose carries a
+    # few pixels of noise, static clusters start failing the absolute
+    # gates, get suppressed, and the pose degrades further -- a positive
+    # feedback loop. Normalizing by the *global median* error (a robust
+    # estimate of the static population's error level, since movers are a
+    # minority of clusters even when they dominate corners) keeps the
+    # criterion "stands out against the scene", not "exceeds N pixels".
+    # The gates are computed in step 7 from CLUSTER-mean statistics: the
+    # median must be over cluster means, not raw tracks -- a texture-
+    # dominant mover can contribute most of the tracks but only spans a
+    # few of the n_clusters depth clusters.
 
     # 4. per-point RPE under the winner (the reference's mvRpe)
     rpe, _ = _reproj_err(cam, T_used, pts_w, flow.pts1)
@@ -145,7 +200,6 @@ def compute_dynamics(
     depth_consistent = (d1 > 0) & (
         jnp.abs(d1 - z_pred) < 0.3 * jnp.maximum(z_pred, 1e-3)
     )
-    epi_vote = epi_out & has3d & depth_consistent
 
     # 6. depth clusters on the current frame
     cl = slic_kmeans(
@@ -153,16 +207,57 @@ def compute_dynamics(
         slic_iters=slic_iters, k=n_clusters,
     )
 
-    # 7. per-cluster votes + mean RPE (CalDyna's rmVector rule)
+    # 7. per-cluster votes + mean RPE (CalDyna's rmVector rule), with the
+    # adaptive gates computed over CLUSTER-mean statistics
     pt_cluster = cl.pixel_cluster[y1i, x1i]
     w3 = has3d.astype(jnp.float32)
+    wt = good_track.astype(jnp.float32)
     rpe_sum = jax.ops.segment_sum(rpe * w3, pt_cluster, num_segments=n_clusters)
     rpe_cnt = jax.ops.segment_sum(w3, pt_cluster, num_segments=n_clusters)
     mean_rpe = rpe_sum / jnp.maximum(rpe_cnt, 1.0)
+    epi_sum = jax.ops.segment_sum(
+        jnp.where(good_track, epi_dist, 0.0), pt_cluster,
+        num_segments=n_clusters,
+    )
+    epi_cnt = jax.ops.segment_sum(wt, pt_cluster, num_segments=n_clusters)
+    mean_epi = epi_sum / jnp.maximum(epi_cnt, 1.0)
+
+    cl_ok = rpe_cnt >= 2
+    rpe_med = _masked_median(mean_rpe, cl_ok)
+    rpe_gate = jnp.maximum(mean_rpe_th, 2.5 * rpe_med)
+    epi_med = _masked_median(mean_epi, epi_cnt >= 2)
+    epi_gate = jnp.maximum(epi_outlier_th, 3.0 * epi_med)
+
+    epi_out = (epi_dist > epi_gate) & good_track
+    epi_vote = epi_out & has3d & depth_consistent
     votes = jax.ops.segment_sum(
         epi_vote.astype(jnp.float32), pt_cluster, num_segments=n_clusters
     )
-    dynamic_cluster = (votes > 0) & (mean_rpe >= mean_rpe_th) & (rpe_cnt >= 2)
+
+    # Scene-flow criterion: the epipolar test is blind to motion along the
+    # epipolar plane (an object moving parallel to the camera's translation
+    # direction stays on its epipolar lines and collects no votes). The 3D
+    # scene flow -- both-frame depth backprojections under the winning pose
+    # -- has no such blind spot, and the depth-consistency gate already
+    # guards its disocclusion failure mode. The reference computes this
+    # signal (vFlow_3d, src/Tracking.cc:1149-1184) but only displays it; we
+    # let it flag clusters the epipolar vote cannot see, with the same
+    # adaptive cluster-median normalization (flow3d_th in meters/frame).
+    wf = (has3d & (d1 > 0) & depth_consistent).astype(jnp.float32)
+    flow_sum = jax.ops.segment_sum(
+        flow3d * wf, pt_cluster, num_segments=n_clusters
+    )
+    flow_cnt = jax.ops.segment_sum(wf, pt_cluster, num_segments=n_clusters)
+    mean_flow = flow_sum / jnp.maximum(flow_cnt, 1.0)
+    flow_med = _masked_median(mean_flow, flow_cnt >= 2)
+    flow_gate = jnp.maximum(flow3d_th, 3.0 * flow_med)
+    dyn_flow = (mean_flow >= flow_gate) & (flow_cnt >= 2) & (
+        mean_rpe >= rpe_gate
+    )
+
+    dynamic_cluster = (
+        (votes > 0) & (mean_rpe >= rpe_gate) & (rpe_cnt >= 2)
+    ) | dyn_flow
 
     # 8. final suppression mask
     dyn_pix = dynamic_cluster[cl.pixel_cluster]

@@ -78,7 +78,13 @@ class ORBPipeline:
         self.budgets = orb.level_budgets()
         self.capacity = orb.max_kpts
         self.scales = np.asarray(orb.level_scales(), np.float32)
-        self.pattern = jnp.asarray(orb_ops.make_brief_pattern(orb.pattern_seed))
+        pattern_np = orb_ops.make_brief_pattern(orb.pattern_seed)
+        self.pattern = jnp.asarray(pattern_np)
+        # constant rotation-binned sampling matrix for the patch-based
+        # descriptor path (bf16, built on device, cached per process)
+        self.sampling_matrix = orb_ops.make_bin_sampling_matrix(
+            pattern_np, seed_key=orb.pattern_seed
+        )
 
     # Pipelines are static jit arguments. Hash/eq by CONFIG, not identity:
     # every derived field above is a pure function of (orb, cam_cfg), so two
@@ -141,26 +147,34 @@ class ORBPipeline:
             valid = jnp.pad(valid, (0, pad))
             level = jnp.pad(level, (0, pad))
 
-        angle = orb_ops.compute_orientations(pyr, level, yx)
+        # ONE whole-patch block gather feeds both the intensity-centroid
+        # orientation and the descriptor sampler (see ops/orb_descriptor.py
+        # patch-path rationale). Patches come from the blurred pyramid; the
+        # reference computes IC_Angle on the raw pyramid, but the centroid of
+        # a Gaussian-blurred patch is the blurred centroid -- angle deviation
+        # is sub-degree, validated by the matching/ATE suites.
+        patches = orb_ops.gather_patches(blurred, level, yx)
+        angle = orb_ops.orientations_from_patches(patches)
         scale = jnp.asarray(self.scales)[level]
         xy0 = jnp.stack([yx[:, 1] * scale, yx[:, 0] * scale], axis=-1)
         kp = Keypoints(
             xy=xy0, level=level, response=score, angle=angle,
             yx_level=yx, valid=valid,
         )
-        return kp, pyr, blurred
+        return kp, pyr, blurred, patches
 
     # -- stage 2 ----------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=0)
     def describe(
         self,
         kp: Keypoints,
-        blurred_pyr: jax.Array,
+        patches: jax.Array,
         depth_image: Optional[jax.Array] = None,
         suppress_mask: Optional[jax.Array] = None,
     ) -> FrameFeatures:
         """Descriptors + undistortion + RGB-D stereo for surviving keypoints.
 
+        patches: the (N, P, P) blurred patches from :meth:`detect_keypoints`.
         suppress_mask: optional (H, W) bool/int; keypoints whose level-0
         position lands on a nonzero pixel are dropped (the union of the
         dilated segmentation mask and dynamic clusters -- reference
@@ -174,8 +188,8 @@ class ORBPipeline:
             hit = suppress_mask.astype(jnp.int32)[yi, xi] > 0
             valid = valid & ~hit
 
-        desc = orb_ops.compute_descriptors(
-            blurred_pyr, kp.level, kp.yx_level, kp.angle, self.pattern
+        desc = orb_ops.descriptors_from_patches(
+            patches, kp.angle, self.sampling_matrix
         )
         xy_un = undistort_points(self.cam, kp.xy)
 
@@ -196,5 +210,5 @@ class ORBPipeline:
 
     def extract(self, image, depth_image=None, suppress_mask=None):
         """Convenience: full extraction in one call (non-dynamic path)."""
-        kp, pyr, blurred = self.detect_keypoints(image)
-        return self.describe(kp, blurred, depth_image, suppress_mask)
+        kp, pyr, blurred, patches = self.detect_keypoints(image)
+        return self.describe(kp, patches, depth_image, suppress_mask)

@@ -170,8 +170,8 @@ def fused_frame_step(
     from ..slam_map.slam_map import track_local_map
 
     T_pred = se3.orthonormalize(velocity @ last_Tcw)
-    kp, _, blurred = pipe.detect_keypoints(image)
-    feats = pipe.describe(kp, blurred, depth)
+    kp, _, _, patches = pipe.detect_keypoints(image)
+    feats = pipe.describe(kp, patches, depth)
     mm = track_motion_model(
         pipe.cam, feats, last, last_Tcw, T_pred, mm_radius
     )
@@ -219,6 +219,7 @@ def fused_dynamic_step(
     min_lm: int = 30,
     epi_outlier_th: float = 1.0,
     mean_rpe_th: float = 3.0,
+    flow3d_th: float = 0.04,
     n_clusters: int = 15,
     slic_cell: int = 16,
     dilate_radius: int = 15,
@@ -232,15 +233,15 @@ def fused_dynamic_step(
     from .dynamics import compute_dynamics
 
     T_pred = se3.orthonormalize(velocity @ last_Tcw)
-    kp, pyr, blurred = pipe.detect_keypoints(image)
+    kp, pyr, blurred, patches = pipe.detect_keypoints(image)
     dyn = compute_dynamics(
         pipe.cam, prev_image, prev_depth, image, depth, seg_mask,
         last_Tcw, T_pred, last.kp.xy, last.kp.valid, key,
         epi_outlier_th=epi_outlier_th, mean_rpe_th=mean_rpe_th,
-        n_clusters=n_clusters, slic_cell=slic_cell,
+        flow3d_th=flow3d_th, n_clusters=n_clusters, slic_cell=slic_cell,
         dilate_radius=dilate_radius,
     )
-    feats = pipe.describe(kp, blurred, depth, dyn.suppress_mask)
+    feats = pipe.describe(kp, patches, depth, dyn.suppress_mask)
     mm = track_motion_model(
         pipe.cam, feats, last, last_Tcw, T_pred, mm_radius
     )
@@ -325,10 +326,10 @@ def fused_stereo_step(
     from ..slam_map.slam_map import track_local_map
 
     T_pred = se3.orthonormalize(velocity @ last_Tcw)
-    kp_l, _, bl = pipe.detect_keypoints(left)
-    kp_r, _, br = pipe.detect_keypoints(right)
-    fl = pipe.describe(kp_l, bl)
-    fr = pipe.describe(kp_r, br)
+    kp_l, _, bl, pl = pipe.detect_keypoints(left)
+    kp_r, _, br, pr = pipe.detect_keypoints(right)
+    fl = pipe.describe(kp_l, pl)
+    fr = pipe.describe(kp_r, pr)
     sm = match_stereo(
         fl.desc, kp_l.xy, kp_l.level, fl.valid,
         fr.desc, kp_r.xy, kp_r.level, fr.valid,

@@ -63,14 +63,23 @@ class LoopCloser:
         self.loops_closed: List[Tuple[int, int]] = []
 
     # ------------------------------------------------------------------
-    def on_keyframe(self, slot: int) -> bool:
-        """Process a freshly inserted keyframe; returns True if a loop was
-        closed (poses/points were rewritten)."""
-        ww = np.asarray(_bow_for_slot(
+    def bow_dispatch(self, slot: int) -> jax.Array:
+        """Device half: the stored keyframe's BoW transform as one program
+        (packed (2, N) [word, weight]); materialize and hand to
+        :meth:`on_keyframe_resolve`."""
+        return _bow_for_slot(
             self.map.arrays, jnp.asarray(slot, jnp.int32),
             self.voc.levels, self.voc.node_valid, self.voc.idf,
             self.voc.k, self.voc.depth,
-        ))  # one dispatch + one host read
+        )
+
+    def on_keyframe(self, slot: int) -> bool:
+        """Process a freshly inserted keyframe; returns True if a loop was
+        closed (poses/points were rewritten). (Blocking form; the pipelined
+        system materializes bow_dispatch asynchronously.)"""
+        return self.on_keyframe_resolve(slot, np.asarray(self.bow_dispatch(slot)))
+
+    def on_keyframe_resolve(self, slot: int, ww: np.ndarray) -> bool:
         words_np = ww[0].astype(np.int64)
         weights_np = ww[1]
 

@@ -79,6 +79,7 @@ def lk_flow(
     win_half: int = 7,
     iters: int = 6,
     max_err: float = 20.0,
+    min_eig: float = 1.0,
 ) -> FlowResult:
     """Track pts0 from img0 to img1. Returns positions in img1.
 
@@ -128,6 +129,16 @@ def lk_flow(
 
         g = jax.lax.fori_loop(0, iters, body, g)
 
+    # Texture gate (cv::calcOpticalFlowPyrLK's minEigThreshold): the GN
+    # system's min eigenvalue at the FINEST level, per window pixel. A flat
+    # or 1-D-textured window lets the solution slide along the weak
+    # direction -- the track lands somewhere plausible with a LOW residual,
+    # so the SAD gate cannot catch it; only the gradient conditioning can.
+    # (Gxx/Gxy/Gyy hold the level-0 values after the loop above.)
+    P2 = float((2 * w + 1) ** 2)
+    lam_min = 0.5 * ((Gxx + Gyy) - jnp.sqrt((Gxx - Gyy) ** 2 + 4.0 * Gxy ** 2))
+    texture_ok = lam_min / P2 > min_eig
+
     # final validity: residual + bounds
     H, W = img0.shape
     p1 = pts0 + g
@@ -138,5 +149,5 @@ def lk_flow(
         (p1[:, 0] >= w + 1) & (p1[:, 0] < W - w - 1)
         & (p1[:, 1] >= w + 1) & (p1[:, 1] < H - w - 1)
     )
-    valid = pts_valid & inb & (err < max_err)
+    valid = pts_valid & inb & (err < max_err) & texture_ok
     return FlowResult(pts1=p1, valid=valid, err=err)

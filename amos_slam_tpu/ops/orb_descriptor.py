@@ -147,6 +147,151 @@ def compute_descriptors(
     return (vals[..., 0] < vals[..., 1]).astype(jnp.int8)
 
 
+# ---------------------------------------------------------------------------
+# Patch-based extraction (the TPU fast path).
+#
+# A flat per-sample gather (compute_descriptors above) costs ~6 ms for
+# 1024x256x2 samples on v5e -- random scalar gathers are the slowest
+# primitive on TPU. The patch formulation replaces it with:
+#   1. ONE whole-patch gather per keypoint (lax.gather, slice_sizes=(1,P,P)),
+#      which XLA lowers to block copies: ~4x cheaper per element, and the
+#      patch feeds BOTH orientation and descriptors, so the IC_Angle
+#      prefix-sum gathers disappear too.
+#   2. Rotation quantized to N_BINS discrete angles; sampling then becomes a
+#      CONSTANT one-hot matrix, so all bins' samples come from one
+#      (N, P^2) @ (P^2, N_BINS*512) bf16 MXU matmul, and the keypoint's bin
+#      is selected by a one-hot contraction. At 32 bins the angular step is
+#      11.25 deg (+-5.6 deg error ~= 1.3 px arc at pattern radius 13),
+#      the same order as the reference's integer rounding of rotated
+#      offsets; the framework matches descriptors only against its own, so
+#      the contract is cross-frame stability, validated by the matching and
+#      ATE e2e suites.
+# Net: orientation + descriptors in ~3.5 ms instead of ~8 ms.
+# ---------------------------------------------------------------------------
+
+PATCH_RAD = 18        # covers rotated pattern offsets: |round(R(theta) p)| <= 18
+PATCH_SIZE = 37       # 2*PATCH_RAD+1; with the 19 px detection border, whole
+                      # patches never clip against the image, so no center shift
+N_ROT_BINS = 32
+
+
+def _bin_sample_indices(pattern: np.ndarray, n_bins: int) -> np.ndarray:
+    """(n_bins * 512,) int32 flat in-patch pixel index per (bin, sample).
+
+    Entry b*512 + 2*s + j is the patch pixel of sample point j of bit s
+    under rotation bin b (theta_b = -pi + b * 2pi/n_bins), replicating
+    compute_descriptors' rotate-then-round at the quantized angle.
+    """
+    R, P = PATCH_RAD, PATCH_SIZE
+    px = pattern[..., 0].astype(np.float64)       # (256, 2)
+    py = pattern[..., 1].astype(np.float64)
+    step = 2 * np.pi / n_bins
+    out = np.zeros((n_bins, px.size), np.int32)
+    for b in range(n_bins):
+        th = -np.pi + b * step
+        c, s = np.cos(th), np.sin(th)
+        ix = np.clip(np.round(px * c - py * s).astype(np.int64) + R, 0, P - 1)
+        iy = np.clip(np.round(px * s + py * c).astype(np.int64) + R, 0, P - 1)
+        out[b] = (iy * P + ix).reshape(-1)
+    return out.reshape(-1)
+
+
+_SAMPLING_CACHE: dict = {}
+
+
+def make_bin_sampling_matrix(
+    pattern: np.ndarray, n_bins: int = N_ROT_BINS, seed_key=None
+) -> jax.Array:
+    """Device-resident (P^2, n_bins*512) bf16 one-hot sampling matrix.
+
+    Built ON DEVICE from the compact (n_bins*512,) index vector -- shipping
+    the expanded ~45 MB matrix from host cost ~0.5 s per System through the
+    transfer tunnel. Cached per (seed_key, n_bins) so every System in a
+    process shares one copy.
+    """
+    key = (seed_key, n_bins)
+    if seed_key is not None and key in _SAMPLING_CACHE:
+        return _SAMPLING_CACHE[key]
+    P2 = PATCH_SIZE * PATCH_SIZE
+    flat = jnp.asarray(_bin_sample_indices(pattern, n_bins))
+
+    @jax.jit
+    def build(idx):
+        return (idx[None, :] == jnp.arange(P2)[:, None]).astype(jnp.bfloat16)
+
+    M = build(flat)
+    if seed_key is not None:
+        _SAMPLING_CACHE[key] = M
+    return M
+
+
+def _orientation_weights() -> tuple[np.ndarray, np.ndarray]:
+    """(P^2,) m10/m01 weight vectors over the reference's circular patch:
+    column x contributes rows |y| <= floor(sqrt(15^2 - x^2)) (the umax
+    extents of IC_Angle, src/ORBextractor.cc:108)."""
+    R, P = PATCH_RAD, PATCH_SIZE
+    d = np.arange(P) - R
+    b = np.floor(np.sqrt(np.maximum(PATCH_R * PATCH_R - d * d, 0) + 1e-9))
+    inside = (np.abs(d[:, None]) <= b[None, :]) & (
+        np.abs(d[None, :]) <= PATCH_R
+    )                                             # [y, x]
+    w10 = (d[None, :] * inside).astype(np.float32).reshape(-1)
+    w01 = (d[:, None] * inside).astype(np.float32).reshape(-1)
+    return w10, w01
+
+
+def gather_patches(pyr: jax.Array, level: jax.Array, yx: jax.Array) -> jax.Array:
+    """(N, P, P) pixel patches centred on the keypoints, one block gather.
+
+    yx is (N, 2) float32 (y, x) at the keypoint's own level; pyr is the
+    stacked (L, H, W) pyramid. Start indices are clipped (gather mode
+    'clip'); with the detection border >= PATCH_RAD+1 no clip ever shifts
+    a patch in practice.
+    """
+    L, H, W = pyr.shape
+    P = PATCH_SIZE
+    y0 = jnp.round(yx[:, 0]).astype(jnp.int32) - PATCH_RAD
+    x0 = jnp.round(yx[:, 1]).astype(jnp.int32) - PATCH_RAD
+    starts = jnp.stack([level, y0, x0], axis=-1)
+    return jax.lax.gather(
+        pyr, starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2)),
+        slice_sizes=(1, P, P), mode="clip",
+    )
+
+
+def orientations_from_patches(patches: jax.Array) -> jax.Array:
+    """Intensity-centroid angle per patch (same moment sums as IC_Angle)."""
+    w10, w01 = _orientation_weights()
+    flat = patches.reshape(patches.shape[0], -1)
+    m10 = flat @ jnp.asarray(w10)
+    m01 = flat @ jnp.asarray(w01)
+    return jnp.arctan2(m01, m10)
+
+
+def descriptors_from_patches(
+    patches: jax.Array, angle: jax.Array, M: jax.Array,
+    n_bins: int = N_ROT_BINS,
+) -> jax.Array:
+    """Rotated-BRIEF bitplanes from pre-gathered patches.
+
+    patches: (N, P, P) float32 blurred-intensity patches;
+    angle: (N,) radians; M: device copy of make_bin_sampling_matrix.
+    Returns (N, 256) int8 in {0, 1}.
+    """
+    N = patches.shape[0]
+    step = 2 * jnp.pi / n_bins
+    bins = jnp.round((angle + jnp.pi) / step).astype(jnp.int32) % n_bins
+    flat = patches.reshape(N, -1).astype(jnp.bfloat16)
+    samples = jnp.dot(flat, M, preferred_element_type=jnp.float32)
+    sb = samples.reshape(N, n_bins, -1)
+    onehot = (bins[:, None] == jnp.arange(n_bins)[None]).astype(jnp.float32)
+    vals = jnp.einsum("nb,nbs->ns", onehot, sb).reshape(N, -1, 2)
+    return (vals[..., 0] < vals[..., 1]).astype(jnp.int8)
+
+
 def pack_bits(desc_bits: jax.Array) -> jax.Array:
     """(N, 256) {0,1} int8 -> (N, 8) uint32 packed (bit i of word w = bit
     32*w + i). For storage, checkpointing, and vocabulary files."""

@@ -514,21 +514,37 @@ class SlamMap:
 
         All device math runs in ONE batched kernel over NB_PAD padded
         neighbour slots + ONE host fetch; only the merge bookkeeping is
-        host python."""
+        host python. (Blocking form; dispatch/resolve halves below feed the
+        pipelined system's async fetcher.)"""
+        disp = self.fuse_neighbors_dispatch(slot, max_neighbours)
+        if disp is None:
+            return 0
+        return self.fuse_neighbors_resolve(
+            slot, disp, np.asarray(disp["packed"])
+        )
+
+    def fuse_neighbors_dispatch(self, slot: int, max_neighbours: int = NB_PAD):
         kfs = self.local_keyframes(slot, max_neighbours + 1)
-        my_obs = self.kf_obs_np[slot]
+        my_obs = self.kf_obs_np[slot].copy()
         neighbours = kfs[1:].tolist()
         if not neighbours:
-            return 0
+            return None
         nbs = np.zeros(NB_PAD, np.int64)
         nb_ok = np.zeros(NB_PAD, bool)
         nbs[: len(neighbours)] = neighbours
         nb_ok[: len(neighbours)] = True
-        packed = np.asarray(_fuse_match_kernel(
+        packed = _fuse_match_kernel(
             self.arrays, self.cam, jnp.asarray(slot, jnp.int32),
             jnp.asarray(nbs.astype(np.int32)), jnp.asarray(nb_ok),
             jnp.asarray(my_obs.astype(np.int32)),
-        ))
+        )
+        return {"packed": packed, "neighbours": neighbours, "my_obs": my_obs}
+
+    def fuse_neighbors_resolve(
+        self, slot: int, disp: dict, packed: np.ndarray
+    ) -> int:
+        neighbours = disp["neighbours"]
+        my_obs = disp["my_obs"]
         fused = 0
         merges = {}
         for di, nb in enumerate(neighbours):
@@ -539,6 +555,8 @@ class SlamMap:
             for i in np.where(mval & (my_obs >= 0))[0]:
                 j = midx[i]
                 mine_id = my_obs[i]
+                if not self.pt_alive[mine_id]:
+                    continue   # culled between dispatch and (lagged) resolve
                 theirs_id = nb_obs[j]
                 if theirs_id < 0:
                     # the neighbour keypoint gains an observation of mine
@@ -650,20 +668,17 @@ class SlamMap:
         self.version += 1
 
     # -- epipolar triangulation of new landmarks -------------------------------
-    def create_new_points(self, slot: int, max_neighbours: int = 3) -> int:
-        """Triangulate new landmarks between ``slot`` and its best covisible
-        keyframes (LocalMapping::CreateNewMapPoints). Returns #created.
-
-        ONE batched device program triangulates all neighbours (normals and
-        scale ranges included) + ONE host fetch of the match/good masks; the
-        host assigns landmark ids sequentially (later neighbours cannot
-        re-claim keypoints an earlier one took), then ONE insertion kernel
-        writes every neighbour's points."""
+    def create_new_points_dispatch(self, slot: int, max_neighbours: int = 3):
+        """Device half of CreateNewMapPoints: dispatch the batched
+        triangulation kernel. Returns an opaque handle for
+        :meth:`create_new_points_resolve` (its ``packed`` field is the ONE
+        device array the host must materialize), or None if there are no
+        neighbours."""
         kfs = self.local_keyframes(slot, max_neighbours + 1)
         obs_slot = self.kf_obs_np[slot]
         neighbours = [int(nb) for nb in kfs[1:]][:NB_PAD]
         if not neighbours:
-            return 0
+            return None
         nbs = np.zeros(NB_PAD, np.int64)
         nb_ok = np.zeros(NB_PAD, bool)
         nbs[: len(neighbours)] = neighbours
@@ -676,7 +691,36 @@ class SlamMap:
             scale_factor=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels,
         )
-        packed = np.asarray(packed)      # the single host fetch
+        return {"packed": packed, "X": X, "normal": normal, "min_d": min_d,
+                "max_d": max_d, "neighbours": neighbours, "nbs": nbs}
+
+    def create_new_points(self, slot: int, max_neighbours: int = 3) -> int:
+        """Triangulate new landmarks between ``slot`` and its best covisible
+        keyframes (LocalMapping::CreateNewMapPoints). Returns #created.
+
+        ONE batched device program triangulates all neighbours (normals and
+        scale ranges included) + ONE host fetch of the match/good masks; the
+        host assigns landmark ids sequentially (later neighbours cannot
+        re-claim keypoints an earlier one took), then ONE insertion kernel
+        writes every neighbour's points. (Blocking form; the pipelined
+        system routes the fetch through its async fetcher instead --
+        dispatch/resolve halves above/below.)"""
+        disp = self.create_new_points_dispatch(slot, max_neighbours)
+        if disp is None:
+            return 0
+        return self.create_new_points_resolve(
+            slot, disp, np.asarray(disp["packed"])
+        )
+
+    def create_new_points_resolve(
+        self, slot: int, disp: dict, packed: np.ndarray
+    ) -> int:
+        """Host half: assign landmark ids from the fetched match/good masks
+        and dispatch the single insertion kernel."""
+        neighbours = disp["neighbours"]
+        X, normal = disp["X"], disp["normal"]
+        min_d, max_d = disp["min_d"], disp["max_d"]
+        nbs = disp["nbs"]
         match_all = packed[0].astype(np.int64)
         goods_all = packed[1] > 0
 
@@ -810,10 +854,18 @@ class SlamMap:
     def bump_stats(self, visible_ids: jax.Array, found_ids: jax.Array):
         self.arrays = bump_point_stats_kernel(self.arrays, visible_ids, found_ids)
 
+    def cull_points_dispatch(self):
+        """Device half of MapPointCulling: the (2, M) stats fetch."""
+        return _pt_stats_kernel(self.arrays)
+
     def cull_points(self):
         """Reference MapPointCulling: drop landmarks with found/visible < 0.25
-        or stuck at <=2 observations several KFs after creation."""
-        both = np.asarray(_pt_stats_kernel(self.arrays))
+        or stuck at <=2 observations several KFs after creation. (Blocking
+        form; the pipelined system materializes cull_points_dispatch through
+        its async fetcher and calls cull_points_resolve.)"""
+        self.cull_points_resolve(np.asarray(self.cull_points_dispatch()))
+
+    def cull_points_resolve(self, both: np.ndarray):
         vis, fnd = both[0], both[1]
         alive = self.pt_alive.copy()
         alive_ids = np.where(alive)[0]

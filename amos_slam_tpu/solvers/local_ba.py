@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..geometry import se3
 from ..geometry.camera import Camera
-from .robust import CHI2_MONO, CHI2_STEREO, huber_weight
+from .robust import CHI2_MONO, CHI2_STEREO, huber_weight, inv3x3
 
 _P = jax.lax.Precision.HIGHEST
 
@@ -182,7 +182,7 @@ def solve_local_ba(
         # damp + invert landmark blocks
         dl = jnp.diagonal(Hll, axis1=-2, axis2=-1)
         Hll_d = Hll + jnp.eye(3) * (lam * jnp.maximum(dl, 1e-9) + 1e-9)[..., None, :]
-        Hll_inv = jnp.linalg.inv(Hll_d)                             # (M,3,3)
+        Hll_inv = inv3x3(Hll_d)                                     # (M,3,3)
 
         # Schur complement: S = Hcc_diag - W Hll^-1 W^T  (blocked einsum)
         W = jnp.einsum("kmij,mjl->kmil", Hcl, Hll_inv, precision=_P)  # (K,M,6,3)

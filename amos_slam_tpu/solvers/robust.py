@@ -52,6 +52,74 @@ def weighted_normal_eq(J: jax.Array, r: jax.Array, w: jax.Array):
     return H, b
 
 
+def chol_solve_unrolled(Hd: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched SPD solve with a fully unrolled Cholesky (static small n).
+
+    On TPU, lapack-style cho_factor on a single small matrix lowers to a
+    sequential blocked loop with hundreds of microseconds of fixed latency;
+    called inside every GN iteration of the pose solvers that adds up to
+    milliseconds per frame. Unrolled, the ~n^3/3 scalar operations fuse into
+    the surrounding program as straight-line elementwise code. Broadcasts
+    over any leading batch dims.
+    """
+    n = Hd.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = Hd[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-12))
+        L[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = Hd[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
+def inv3x3(A: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Batched closed-form 3x3 inverse (adjugate / determinant).
+
+    jnp.linalg.inv on a (M, 3, 3) batch lowers to batched LU on TPU --
+    milliseconds for a few thousand matrices; the adjugate form is pure
+    elementwise arithmetic and fuses away.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > eps, det, eps)
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], -1),
+        jnp.stack([A21, A22, A23], -1),
+        jnp.stack([A31, A32, A33], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
 def solve_damped(H: jax.Array, b: jax.Array, lam: jax.Array) -> jax.Array:
     """Solve (H + lam*diag(H)) dx = b with a safe Cholesky fallback.
 
@@ -61,8 +129,9 @@ def solve_damped(H: jax.Array, b: jax.Array, lam: jax.Array) -> jax.Array:
     diag = jnp.diagonal(H, axis1=-2, axis2=-1)
     damp = lam[..., None] * jnp.maximum(diag, 1e-9)
     Hd = H + jnp.eye(H.shape[-1], dtype=H.dtype) * damp[..., None, :]
-    # cho_solve is batched and MXU-friendly; singular systems fall back to 0
-    # step via the nan check in the caller.
-    L, low = jax.scipy.linalg.cho_factor(Hd, lower=True)
-    dx = jax.scipy.linalg.cho_solve((L, low), b[..., None])[..., 0]
+    if H.shape[-1] <= 8:
+        dx = chol_solve_unrolled(Hd, b)
+    else:
+        L, low = jax.scipy.linalg.cho_factor(Hd, lower=True)
+        dx = jax.scipy.linalg.cho_solve((L, low), b[..., None])[..., 0]
     return jnp.where(jnp.isfinite(dx), dx, 0.0)

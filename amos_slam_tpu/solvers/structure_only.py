@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..geometry import se3
 from ..geometry.camera import Camera
-from .robust import CHI2_MONO, huber_weight
+from .robust import CHI2_MONO, huber_weight, inv3x3
 
 _P = jax.lax.Precision.HIGHEST
 
@@ -60,7 +60,7 @@ def refine_points(
         H = jnp.einsum("modi,modj->mij", Jw, J, precision=_P)  # (M,3,3)
         g = jnp.einsum("modi,mod->mi", Jw, r, precision=_P)
         H = H + jnp.eye(3) * 1e-6
-        dx = -jnp.linalg.solve(H, g[..., None])[..., 0]
+        dx = -jnp.einsum("mij,mj->mi", inv3x3(H), g, precision=_P)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         has = jnp.sum(w, axis=-1) > 0
         X = jnp.where((point_valid & has)[:, None], X + dx, X)

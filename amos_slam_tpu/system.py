@@ -111,6 +111,69 @@ class _SupervisionReader:
             self._in.join()
 
 
+class _AsyncFetcher:
+    """FIFO device->host materializer with host continuations.
+
+    Keyframe-rate maintenance (triangulation, fusion, culling, loop BoW)
+    each need ONE small device fetch whose ~30 ms tunnel round trip used to
+    stall the tracking thread. Here the blocking np.asarray runs on a side
+    thread (releasing the GIL, overlapped with dispatch); the host half of
+    each operation runs as a continuation on the *tracking* thread at the
+    next drain point, in submission order -- so all map mutation stays
+    single-threaded (the no-locks design), exactly like the reference's
+    LocalMapping consumer thread but without shared-state mutexes
+    (src/LocalMapping.cc:176)."""
+
+    def __init__(self):
+        self._in = queue.Queue()
+        self._out = collections.deque()
+        self._thread = None
+
+    def submit(self, dev, cont):
+        """dev: pytree of device arrays; cont(host_pytree) runs at drain."""
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+        self._in.put((dev, cont))
+
+    def _run(self):
+        while True:
+            item = self._in.get()
+            if item is None:
+                self._in.task_done()
+                return
+            dev, cont = item
+            host = jax.tree_util.tree_map(np.asarray, dev)
+            self._out.append((cont, host))
+            self._in.task_done()
+
+    def drain(self):
+        """Run finished continuations (tracking thread only)."""
+        while self._out:
+            cont, host = self._out.popleft()
+            cont(host)
+
+    def flush(self):
+        """Block until everything submitted so far has resolved -- looped,
+        because continuations may submit follow-up fetches."""
+        while True:
+            if self._thread is None or not self._thread.is_alive():
+                self.drain()
+                if self._in.empty() and not self._out:
+                    return
+                continue
+            self._in.join()
+            self.drain()
+            if self._in.empty() and not self._out:
+                return
+
+    def stop(self):
+        self.flush()
+        if self._thread is not None and self._thread.is_alive():
+            self._in.put(None)
+            self._in.join()
+
+
 class System:
     """The SLAM system facade for RGB-D, stereo, and monocular sensors.
 
@@ -158,6 +221,8 @@ class System:
         # machine / keyframe decisions on them (lag ~ 1-2 frames = the
         # tunnel round trip, never blocking dispatch)
         self._reader = _SupervisionReader()
+        # async materializer for keyframe-rate maintenance fetches
+        self._fetcher = _AsyncFetcher()
         tc = self.cfg.tracking
         self._r_mm = jnp.asarray(tc.match_radius_motion)
         self._r_map = jnp.asarray(tc.match_radius_map * 2.0)
@@ -202,6 +267,7 @@ class System:
         else:
             for done in self._reader.drain():
                 self._resolve_step(*done)
+            self._fetcher.drain()
 
         # Fast path: with neither a seg mask nor the geometric stage active,
         # the whole frame -- extraction + both tracking stages + the pose/
@@ -243,6 +309,7 @@ class System:
                     min_lm=tcfg.min_inliers_local_map,
                     epi_outlier_th=dcfg.epipolar_outlier_th,
                     mean_rpe_th=dcfg.mean_rpe_th,
+                    flow3d_th=dcfg.flow3d_th,
                     n_clusters=dcfg.n_clusters,
                     slic_cell=dcfg.slic_cell,
                     dilate_radius=dcfg.mask_dilate_radius,
@@ -266,6 +333,7 @@ class System:
             self._reader.submit((res, view, self.frame_id))
             for done in self._reader.drain():
                 self._resolve_step(*done)
+            self._fetcher.drain()
             if self.debug_dir is not None:
                 self._dump_debug(res.feats, g)
             return res.Tcw
@@ -302,6 +370,7 @@ class System:
         else:
             for done in self._reader.drain():
                 self._resolve_step(*done)
+            self._fetcher.drain()
 
         # pipelined fused fast path, like track_rgbd
         if self.state is TrackingState.OK:
@@ -324,15 +393,16 @@ class System:
             self._reader.submit((res, view, self.frame_id))
             for done in self._reader.drain():
                 self._resolve_step(*done)
+            self._fetcher.drain()
             if self.debug_dir is not None:
                 self._dump_debug(res.feats, gl)
             return res.Tcw
 
         self._flush_pending()
-        kp_l, _, bl = self.pipeline.detect_keypoints(gl)
-        kp_r, _, br = self.pipeline.detect_keypoints(gr)
-        fl = self.pipeline.describe(kp_l, bl)
-        fr = self.pipeline.describe(kp_r, br)
+        kp_l, _, bl, pl = self.pipeline.detect_keypoints(gl)
+        kp_r, _, br, pr = self.pipeline.detect_keypoints(gr)
+        fl = self.pipeline.describe(kp_l, pl)
+        fr = self.pipeline.describe(kp_r, pr)
         sm = match_stereo(
             fl.desc, kp_l.xy, kp_l.level, fl.valid,
             fr.desc, kp_r.xy, kp_r.level, fr.valid,
@@ -352,8 +422,8 @@ class System:
         self._flush_pending()
         self.frame_id += 1
         g = jnp.asarray(gray)
-        kp, _, blurred = self.pipeline.detect_keypoints(g)
-        feats = self.pipeline.describe(kp, blurred)
+        kp, _, _, patches = self.pipeline.detect_keypoints(g)
+        feats = self.pipeline.describe(kp, patches)
         self.prev_kp_xy, self.prev_kp_valid = kp.xy, kp.valid
 
         if self.state is TrackingState.NOT_INITIALIZED:
@@ -408,29 +478,8 @@ class System:
                 )
                 self.last_kf_frame = frame_id
                 self.last_kf_inliers = n_lm
-                self.map.create_new_points(self.ref_kf)
-                # heavier maintenance on a cadence: fusion/culling/refresh
-                # act on slowly-accumulating redundancy; every keyframe is
-                # wasted work (the reference's LocalMapping also skips
-                # these under load via its interrupt flags)
-                if self.ref_kf % 3 == 1:
-                    self.map.fuse_neighbors(self.ref_kf)
-                    self.map.cull_points()
-                    self.map.cull_keyframes(self.ref_kf)
-                    self.map.refresh_landmarks(self.ref_kf)
+                self._keyframe_maintenance(self.ref_kf)
                 made_kf = True
-                # ORDER MATTERS on the tunnel: the loop closer's BoW fetch
-                # must run BEFORE the local-BA dispatch -- device execution
-                # is in dispatch order, so a read issued after BA would
-                # stall the host for BA's full device time. BA itself is
-                # dispatch-only (nothing reads it) and overlaps subsequent
-                # tracking frames (reference: LocalMapping BA runs in its
-                # own thread for the same reason, src/LocalMapping.cc:122).
-                if self.loop is not None and self.loop.on_keyframe(self.ref_kf):
-                    self.last_Tcw = self.map.arrays.kf_pose[self.ref_kf]
-                    self.velocity = jnp.eye(4)
-                if self.ref_kf % 2 == 1 or self.ref_kf < 4:
-                    self.map.run_local_ba(self.ref_kf)
         elif n_mm >= 10:
             self.state = TrackingState.OK   # pure odometry frame
         else:
@@ -442,6 +491,80 @@ class System:
     def _flush_pending(self):
         for done in self._reader.flush():
             self._resolve_step(*done)
+        self._fetcher.flush()
+
+    # ------------------------------------------------- keyframe maintenance
+    def _keyframe_maintenance(self, slot: int):
+        """Post-insertion maintenance for keyframe ``slot``: triangulation,
+        (on a cadence) fusion + culling + landmark refresh, loop detection,
+        local BA. The reference runs all of this on the LocalMapping /
+        LoopClosing threads (src/LocalMapping.cc:73, src/LoopClosing.cc:72);
+        here every device program dispatches from the tracking thread, and
+        the few small host fetches resolve asynchronously through
+        self._fetcher, so the tracking loop never blocks on a transfer
+        round trip. Continuations chain in FIFO order:
+
+          triangulate -> [loop BoW -> detect] -> [fuse -> cull -> refresh]
+                      -> local BA dispatch
+
+        Heavy maintenance runs every 3rd keyframe: fusion/culling act on
+        slowly-accumulating redundancy, and the reference's LocalMapping
+        also skips them under load via its interrupt flags."""
+        disp = self.map.create_new_points_dispatch(slot)
+
+        def cont_cnp(packed):
+            self.map.create_new_points_resolve(slot, disp, packed)
+            self._post_triangulation(slot)
+
+        if disp is None:
+            self._post_triangulation(slot)
+        else:
+            self._fetcher.submit(disp["packed"], cont_cnp)
+
+    def _post_triangulation(self, slot: int):
+        # loop BoW dispatch first: its fetch completes without waiting on
+        # the (dispatch-only) local BA queued after it
+        if self.loop is not None:
+            Told = self.map.arrays.kf_pose[slot]
+
+            def cont_bow(ww):
+                if self.loop.on_keyframe_resolve(slot, ww):
+                    # poses were rewritten: rebase the tracker by the
+                    # keyframe's correction (relative motion since the
+                    # keyframe is preserved, so velocity stands)
+                    Tnew = self.map.arrays.kf_pose[slot]
+                    self.last_Tcw = self.last_Tcw @ se3.inv_T(Told) @ Tnew
+
+            self._fetcher.submit(self.loop.bow_dispatch(slot), cont_bow)
+
+        def finish():
+            # BA last, so it optimizes the post-fusion observation set
+            # (reference LocalMapping order: CreateNewMapPoints ->
+            # SearchInNeighbors -> local BA -> KeyFrameCulling)
+            if slot % 2 == 1 or slot < 4:
+                self.map.run_local_ba(slot)
+
+        if slot % 3 == 1:
+            fdisp = self.map.fuse_neighbors_dispatch(slot)
+
+            def cont_fuse(packed):
+                if fdisp is not None:
+                    self.map.fuse_neighbors_resolve(slot, fdisp, packed)
+
+                def cont_cull(both):
+                    self.map.cull_points_resolve(both)
+                    self.map.cull_keyframes(slot)
+                    self.map.refresh_landmarks(slot)
+                    finish()
+
+                self._fetcher.submit(self.map.cull_points_dispatch(), cont_cull)
+
+            if fdisp is not None:
+                self._fetcher.submit(fdisp["packed"], cont_fuse)
+            else:
+                cont_fuse(None)
+        else:
+            finish()
 
     def _finish_frame(self, feats, Tcw, gray, depth, timestamp):
         if self.debug_dir is not None:
@@ -460,7 +583,7 @@ class System:
         """The Amos split pipeline: keypoints -> dynamic mask -> descriptors
         (reference GrabImageRGBD, src/Tracking.cc:297-406)."""
         dcfg = self.cfg.dynamics
-        kp, pyr, blurred = self.pipeline.detect_keypoints(g)
+        kp, pyr, blurred, patches = self.pipeline.detect_keypoints(g)
         # flow sources for the NEXT frame's geometric stage: all detected
         # corners of this frame, pre-suppression
         kp_xy, kp_valid = kp.xy, kp.valid
@@ -492,7 +615,7 @@ class System:
             suppress = dilate_mask(seg, dcfg.mask_dilate_radius)
 
         self.prev_kp_xy, self.prev_kp_valid = kp_xy, kp_valid
-        return self.pipeline.describe(kp, blurred, d, suppress)
+        return self.pipeline.describe(kp, patches, d, suppress)
 
     def save_trajectory_tum(self, path: str):
         self._flush_pending()
@@ -555,6 +678,7 @@ class System:
         """Resolve pending supervision and drain dispatched device work."""
         self._flush_pending()
         self._reader.stop()
+        self._fetcher.stop()
         jax.block_until_ready(self.map.arrays)
         jax.block_until_ready(self.last_Tcw)
 
@@ -800,25 +924,11 @@ class System:
             )
             self.last_kf_frame = self.frame_id
             self.last_kf_inliers = n_lm
-            # triangulate far/unseen landmarks with covisible keyframes
-            # (LocalMapping::CreateNewMapPoints) -- essential for mono,
-            # extends RGB-D beyond the depth range
-            self.map.create_new_points(self.ref_kf)
-            if self.ref_kf % 3 == 1:
-                self.map.fuse_neighbors(self.ref_kf)
-                self.map.cull_points()
-                self.map.cull_keyframes(self.ref_kf)
-                self.map.refresh_landmarks(self.ref_kf)
+            # triangulation + fusion/culling + loop detection + local BA,
+            # with fetches resolved asynchronously (see the helper); a loop
+            # closure rebases self.last_Tcw in its continuation
+            self._keyframe_maintenance(self.ref_kf)
             made_kf = True
-            # reads (loop closer BoW) before the dispatch-only local BA --
-            # see _resolve_step for the tunnel queue-order rationale
-            if self.loop is not None and self.loop.on_keyframe(self.ref_kf):
-                # loop closed: keyframe poses were rewritten -- resync the
-                # tracker state to the corrected current keyframe pose
-                Tcw = self.map.arrays.kf_pose[self.ref_kf]
-                self.velocity = jnp.eye(4)
-            if self.ref_kf % 2 == 1 or self.ref_kf < 4:
-                self.map.run_local_ba(self.ref_kf)
 
         self.stats.append({"matches": n_mm, "inliers": n_lm, "kf": made_kf})
         return Tcw

@@ -27,7 +27,7 @@ def test_dynamics_flags_moving_object(dynamic_pair):
     (g0, d0, m0, T0), (g1, d1, m1, T1) = dynamic_pair
     cfg = SystemConfig()
     pipe = ORBPipeline(cfg.orb, cfg.camera)
-    kp, _, _ = pipe.detect_keypoints(jnp.asarray(g0))
+    kp, _, _, _ = pipe.detect_keypoints(jnp.asarray(g0))
     flow_pts = kp.xy  # level-0 (x, y)
 
     res = compute_dynamics(
@@ -76,7 +76,7 @@ def test_dynamics_clean_scene_no_suppression(rng):
     g1, d1 = synthetic.render(planes, poses[4])
     cfg = SystemConfig()
     pipe = ORBPipeline(cfg.orb, cfg.camera)
-    kp, _, _ = pipe.detect_keypoints(jnp.asarray(g0))
+    kp, _, _, _ = pipe.detect_keypoints(jnp.asarray(g0))
     res = compute_dynamics(
         pipe.cam,
         jnp.asarray(g0), jnp.asarray(d0), jnp.asarray(g1), jnp.asarray(d1),

@@ -81,10 +81,10 @@ def test_matching_translated_image(pipeline, texture):
 
 
 def test_suppress_mask_drops_keypoints(pipeline, texture):
-    kp, pyr, blurred = pipeline.detect_keypoints(jnp.asarray(texture))
+    kp, pyr, blurred, patches = pipeline.detect_keypoints(jnp.asarray(texture))
     mask = np.zeros((480, 640), np.uint8)
     mask[:, :320] = 1  # left half "dynamic"
-    f = pipeline.describe(kp, blurred, None, jnp.asarray(mask))
+    f = pipeline.describe(kp, patches, None, jnp.asarray(mask))
     v = np.asarray(f.valid)
     xy = np.asarray(f.kp.xy)
     assert (xy[v][:, 0] >= 319).all()

@@ -108,8 +108,8 @@ def test_stereo_matching_on_rendered_pair():
     pipe = ORBPipeline(ORBConfig(), cfg)
     fl = pipe.extract(jnp.asarray(gl))
     fr = pipe.extract(jnp.asarray(gr))
-    _, pyr_l, bl = pipe.detect_keypoints(jnp.asarray(gl))
-    _, pyr_r, br = pipe.detect_keypoints(jnp.asarray(gr))
+    _, pyr_l, bl, _ = pipe.detect_keypoints(jnp.asarray(gl))
+    _, pyr_r, br, _ = pipe.detect_keypoints(jnp.asarray(gr))
 
     res = match_stereo(
         fl.desc, fl.kp.xy, fl.kp.level, fl.valid,
