@@ -108,6 +108,9 @@ class DynamicsConfig:
                                       # to -- motion along the epipolar plane)
     mean_rpe_th: float = 3.0          # cluster mean RPE gate (src/Frame.cc:626)
     mask_dilate_radius: int = 15      # seg-mask dilation (src/ORBextractor.cc:1698)
+    slic_downsample: int = 2          # SLIC at 1/ds resolution (cluster maps
+                                      # are cluster-granular; 4x less image
+                                      # traffic at ds=2, same geometry)
     max_flow_tracks: int = 1024       # static budget for LK tracks
     lk_win: int = 11                  # LK window half-size ~ (22x22 in ref)
     lk_levels: int = 5

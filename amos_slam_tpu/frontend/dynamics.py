@@ -56,13 +56,18 @@ class DynamicsResult(NamedTuple):
     used_pnp: jax.Array         # () bool
 
 
-def _masked_median(x: jax.Array, mask: jax.Array) -> jax.Array:
-    """Median of x where mask, 0 if the mask is empty (static shapes)."""
+def _masked_quantile(x: jax.Array, mask: jax.Array, q: float) -> jax.Array:
+    """q-quantile of x where mask, 0 if the mask is empty (static shapes)."""
     vals = jnp.sort(jnp.where(mask, x, jnp.inf))
     cnt = jnp.sum(mask.astype(jnp.int32))
-    idx = jnp.clip(cnt // 2, 0, x.shape[0] - 1)
-    med = vals[idx]
-    return jnp.where(cnt > 0, med, 0.0)
+    idx = jnp.clip((cnt.astype(jnp.float32) * q).astype(jnp.int32),
+                   0, x.shape[0] - 1)
+    v = vals[idx]
+    return jnp.where(cnt > 0, v, 0.0)
+
+
+def _masked_median(x: jax.Array, mask: jax.Array) -> jax.Array:
+    return _masked_quantile(x, mask, 0.5)
 
 
 def _reproj_err(cam: Camera, T: jax.Array, pts_w: jax.Array, uv: jax.Array):
@@ -75,7 +80,10 @@ def _reproj_err(cam: Camera, T: jax.Array, pts_w: jax.Array, uv: jax.Array):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_clusters", "slic_cell", "slic_iters", "dilate_radius"),
+    static_argnames=(
+        "n_clusters", "slic_cell", "slic_iters", "dilate_radius", "has_seg",
+        "slic_downsample"
+    ),
 )
 def compute_dynamics(
     cam: Camera,
@@ -100,6 +108,8 @@ def compute_dynamics(
     track_err_th: float = 12.0,
     pnp_gate_rot: float = 0.06,    # rad/frame (~3.4 deg) PnP plausibility
     pnp_gate_trans: float = 0.15,  # m/frame (4.5 m/s at 30 fps)
+    has_seg: bool = True,          # static: False compiles out stage 1
+    slic_downsample: int = 1,      # static: SLIC resolution divisor
 ) -> DynamicsResult:
     H, W = cur_gray.shape
     N = flow_pts.shape[0]
@@ -201,15 +211,31 @@ def compute_dynamics(
         jnp.abs(d1 - z_pred) < 0.3 * jnp.maximum(z_pred, 1e-3)
     )
 
-    # 6. depth clusters on the current frame
+    # 6. depth clusters on the current frame. slic_downsample=2 runs SLIC
+    # at half resolution: the cluster map is cluster-granular output
+    # anyway, and SLIC's cost is pure (H, W)-map traffic (9 offsets x 5
+    # iterations x several field maps) -- 4x less at half res (~17 ms ->
+    # ~4 ms on v5e); cell size scales so the superpixel geometry in image
+    # space is unchanged. Default 1: the half-res cluster partition shifts
+    # the adaptive gates enough to cost mover recall on the synthetic
+    # suites -- revisit with per-dataset tuning.
+    ds = slic_downsample
+    Hh, Wh = H // ds, W // ds
+    # strided subsample (NOT pooling): depth pooling mixes surfaces at
+    # object boundaries, which smears the depth clusters the whole stage
+    # keys on
+    gray_h = cur_gray[:: ds, :: ds][:Hh, :Wh]
+    depth_h = cur_depth[:: ds, :: ds][:Hh, :Wh]
     cl = slic_kmeans(
-        cur_gray, cur_depth, cell=slic_cell, compactness=slic_compactness,
-        slic_iters=slic_iters, k=n_clusters,
+        gray_h, depth_h, cell=max(slic_cell // ds, 4) if ds > 1 else slic_cell,
+        compactness=slic_compactness, slic_iters=slic_iters, k=n_clusters,
     )
 
     # 7. per-cluster votes + mean RPE (CalDyna's rmVector rule), with the
     # adaptive gates computed over CLUSTER-mean statistics
-    pt_cluster = cl.pixel_cluster[y1i, x1i]
+    pt_cluster = cl.pixel_cluster[
+        jnp.clip(y1i // ds, 0, Hh - 1), jnp.clip(x1i // ds, 0, Wh - 1)
+    ]
     w3 = has3d.astype(jnp.float32)
     wt = good_track.astype(jnp.float32)
     rpe_sum = jax.ops.segment_sum(rpe * w3, pt_cluster, num_segments=n_clusters)
@@ -251,6 +277,9 @@ def compute_dynamics(
     mean_flow = flow_sum / jnp.maximum(flow_cnt, 1.0)
     flow_med = _masked_median(mean_flow, flow_cnt >= 2)
     flow_gate = jnp.maximum(flow3d_th, 3.0 * flow_med)
+    # conjunction with the RPE gate keeps this conservative: on the
+    # periodic synthetic textures LK aliasing can hand whole static
+    # clusters coherent phantom flow, and RPE is the cross-check
     dyn_flow = (mean_flow >= flow_gate) & (flow_cnt >= 2) & (
         mean_rpe >= rpe_gate
     )
@@ -259,15 +288,32 @@ def compute_dynamics(
         (votes > 0) & (mean_rpe >= rpe_gate) & (rpe_cnt >= 2)
     ) | dyn_flow
 
-    # 8. final suppression mask
-    dyn_pix = dynamic_cluster[cl.pixel_cluster]
-    seg_dil = dilate_mask(seg_mask, dilate_radius)
-    suppress = seg_dil | dyn_pix
+    # 8. final suppression mask. The seg dilation only exists when a
+    # stage-1 mask is supplied (static flag -> the whole dilation chain
+    # compiles away in geometric-only mode); dynamic clusters are already
+    # cluster-granular and are not dilated, like the reference
+    # (src/ORBextractor.cc:1697 dilates the person mask only).
+    dyn_pix_h = dynamic_cluster[cl.pixel_cluster]          # (H/2, W/2)
+    dyn_pix = jnp.broadcast_to(
+        dyn_pix_h[:, None, :, None], (Hh, ds, Wh, ds)
+    ).reshape(Hh * ds, Wh * ds)
+    dyn_pix = jnp.pad(
+        dyn_pix, ((0, H - Hh * ds), (0, W - Wh * ds)), mode="edge"
+    )
+    if has_seg:
+        suppress = dilate_mask(seg_mask, dilate_radius) | dyn_pix
+    else:
+        suppress = dyn_pix
 
     return DynamicsResult(
         suppress_mask=suppress,
         dynamic_cluster=dynamic_cluster,
-        pixel_cluster=cl.pixel_cluster,
+        pixel_cluster=jnp.pad(
+            jnp.broadcast_to(
+                cl.pixel_cluster[:, None, :, None], (Hh, ds, Wh, ds)
+            ).reshape(Hh * ds, Wh * ds),
+            ((0, H - Hh * ds), (0, W - Wh * ds)), mode="edge",
+        ),
         epi_outlier=epi_out,
         rpe=rpe,
         flow3d=flow3d,

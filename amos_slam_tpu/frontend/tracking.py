@@ -159,6 +159,7 @@ def fused_frame_step(
     mm_radius: jax.Array,
     map_radius: jax.Array,
     min_lm: int = 30,
+    suppress_mask: Optional[jax.Array] = None,
 ) -> FusedStepResult:
     """The per-frame megakernel (SURVEY.md section 7 architecture stance):
     ORB extraction + motion-model tracking + local-map tracking + the pose/
@@ -166,12 +167,19 @@ def fused_frame_step(
     single (2,) counts vector per frame -- every extra eager op or device
     read costs a full tunnel round trip (~25-30 ms measured on the axon
     link), which at 5+ per frame was 10x the actual compute time.
+
+    suppress_mask: optional (H, W) dynamic-pixel mask from compute_dynamics
+    (the Amos keypoint deletion step). The dynamics program dispatches
+    SEPARATELY on purpose: inlining it here compiled into a ~44 ms program
+    while the two programs run in ~7 ms total -- XLA's scheduling of the
+    combined graph (image-wide SLIC/LK fused against the matching pipeline)
+    is the pathology, not the arithmetic.
     """
     from ..slam_map.slam_map import track_local_map
 
     T_pred = se3.orthonormalize(velocity @ last_Tcw)
     kp, _, _, patches = pipe.detect_keypoints(image)
-    feats = pipe.describe(kp, patches, depth)
+    feats = pipe.describe(kp, patches, depth, suppress_mask)
     mm = track_motion_model(
         pipe.cam, feats, last, last_Tcw, T_pred, mm_radius
     )
@@ -196,113 +204,6 @@ def fused_frame_step(
         feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts,
         sup=_pack_supervision(counts, lm, feats),
     )
-
-
-@functools.partial(
-    jax.jit, static_argnums=(0,),
-    static_argnames=("min_lm", "n_clusters", "slic_cell", "dilate_radius"),
-)
-def fused_dynamic_step(
-    pipe,                      # ORBPipeline (static, hashed by config)
-    image: jax.Array,
-    depth: jax.Array,
-    seg_mask: jax.Array,       # (H, W) stage-1 semantic mask (zeros if none)
-    prev_image: jax.Array,
-    prev_depth: jax.Array,
-    last: FrameFeatures,
-    last_Tcw: jax.Array,
-    velocity: jax.Array,
-    view,                      # slam_map.LocalView
-    key: jax.Array,
-    mm_radius: jax.Array,
-    map_radius: jax.Array,
-    min_lm: int = 30,
-    epi_outlier_th: float = 1.0,
-    mean_rpe_th: float = 3.0,
-    flow3d_th: float = 0.04,
-    n_clusters: int = 15,
-    slic_cell: int = 16,
-    dilate_radius: int = 15,
-) -> "FusedStepResult":
-    """The FULL Amos per-frame program: detection, the two-stage dynamic
-    rejection (LK flow, F-RANSAC, PnP arbitration, SLIC clustering, cluster
-    votes), masked description, and both tracking stages -- ONE XLA dispatch
-    for the flagship anti-dynamics pipeline (the reference pays a per-frame
-    C++ -> Python -> CUDA hop for stage 1 alone, SURVEY.md section 2d P6)."""
-    from ..slam_map.slam_map import track_local_map
-    from .dynamics import compute_dynamics
-
-    T_pred = se3.orthonormalize(velocity @ last_Tcw)
-    kp, pyr, blurred, patches = pipe.detect_keypoints(image)
-    dyn = compute_dynamics(
-        pipe.cam, prev_image, prev_depth, image, depth, seg_mask,
-        last_Tcw, T_pred, last.kp.xy, last.kp.valid, key,
-        epi_outlier_th=epi_outlier_th, mean_rpe_th=mean_rpe_th,
-        flow3d_th=flow3d_th, n_clusters=n_clusters, slic_cell=slic_cell,
-        dilate_radius=dilate_radius,
-    )
-    feats = pipe.describe(kp, patches, depth, dyn.suppress_mask)
-    mm = track_motion_model(
-        pipe.cam, feats, last, last_Tcw, T_pred, mm_radius
-    )
-    ok_mm = mm.num_inliers >= 10
-    T0 = jnp.where(ok_mm, mm.Tcw, last_Tcw)
-    lm = track_local_map(
-        pipe.cam, feats, view, T0,
-        jnp.where(ok_mm, map_radius, map_radius * 3.0),
-    )
-    ok_lm = lm.num_inliers >= min_lm
-    Tcw = jnp.where(ok_lm, lm.Tcw, T0)
-    tracked = ok_lm | ok_mm
-    vel_new = jnp.where(
-        tracked,
-        se3.orthonormalize(Tcw @ se3.inv_T(last_Tcw)),
-        jnp.eye(4),
-    )
-    Tcw = jnp.where(tracked, Tcw, last_Tcw)
-    counts = jnp.stack([mm.num_inliers, lm.num_inliers])
-    return FusedStepResult(
-        feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts,
-        sup=_pack_supervision(counts, lm, feats),
-    )
-
-
-@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("min_lm",))
-def fused_frame_scan(
-    pipe,                      # ORBPipeline (static, hashed by config)
-    images: jax.Array,         # (K, H, W) a chunk of consecutive frames
-    depths: jax.Array,         # (K, H, W)
-    last: FrameFeatures,
-    last_Tcw: jax.Array,
-    velocity: jax.Array,
-    view,                      # slam_map.LocalView (fixed across the chunk)
-    mm_radius: jax.Array,
-    map_radius: jax.Array,
-    min_lm: int = 30,
-):
-    """Throughput mode: K consecutive frames as ONE lax.scan program.
-
-    The device state chain (features, pose, velocity) advances entirely
-    on-chip; the host supervises once per CHUNK instead of per frame, so
-    dispatch and read-back overheads amortize by K. Keyframe decisions
-    happen at chunk boundaries (K frames of latency at most -- ~130 ms for
-    K=4 at 30 fps input). Returns the final state plus per-frame poses and
-    counts for the whole chunk.
-    """
-
-    def step(carry, frame):
-        last, last_Tcw, velocity = carry
-        image, depth = frame
-        res = fused_frame_step(
-            pipe, image, depth, last, last_Tcw, velocity, view,
-            mm_radius, map_radius, min_lm=min_lm,
-        )
-        return (res.feats, res.Tcw, res.velocity), (res.Tcw, res.counts)
-
-    (feats, Tcw, vel), (poses, counts) = jax.lax.scan(
-        step, (last, last_Tcw, velocity), (images, depths)
-    )
-    return feats, Tcw, vel, poses, counts
 
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("min_lm",))

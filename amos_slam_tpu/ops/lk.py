@@ -35,13 +35,27 @@ def _dyadic_pyramid(img: jax.Array, levels: int):
 
 
 def _block(img: jax.Array, y0: jax.Array, x0: jax.Array, size: int):
-    """Gather (N, size, size) integer-aligned blocks at corners (y0, x0)."""
-    H, W = img.shape
-    gy = jnp.arange(size)
-    yy = jnp.clip(y0[:, None] + gy[None], 0, H - 1)          # (N, size)
-    xx = jnp.clip(x0[:, None] + gy[None], 0, W - 1)
-    idx = yy[:, :, None] * W + xx[:, None, :]                # (N, size, size)
-    return img.reshape(-1)[idx]
+    """Gather (N, size, size) edge-clamped blocks at corners (y0, x0).
+
+    One lax.gather with slice_sizes=(size, size): XLA lowers whole-slice
+    gathers to block copies, ~100x cheaper than the equivalent elementwise
+    index gather on TPU (the same finding as ops/orb_descriptor's patch
+    path). Border semantics: the image is edge-padded by `size` and the
+    starts offset, which reproduces the per-element coordinate clamp of an
+    elementwise gather for any window within `size` of the image (gather's
+    own 'clip' mode would instead SHIFT out-of-range windows, silently
+    corrupting coarse-pyramid-level residuals for every track near a
+    border). XLA CSEs the pad across the calls inside one program.
+    """
+    imgp = jnp.pad(img, size, mode="edge")
+    starts = jnp.stack([y0 + size, x0 + size], axis=-1)      # (N, 2)
+    return jax.lax.gather(
+        imgp, starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(),
+            start_index_map=(0, 1)),
+        slice_sizes=(size, size), mode="clip",
+    )
 
 
 def _sample_window(img: jax.Array, cy: jax.Array, cx: jax.Array, half: int,

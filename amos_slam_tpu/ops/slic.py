@@ -183,9 +183,9 @@ def dilate_mask(mask: jax.Array, radius: int) -> jax.Array:
     reference dilates the person mask with radius 15 before keypoint
     removal, src/ORBextractor.cc:1697-1704).
 
-    Log-step shift-max decomposition: O(log r) vector maxes, no
-    reduce_window (a 2-D 31x31 reduce_window measured ~800 ms on TPU;
-    separable 1-D windows ~36 ms; this form is ~2 ms)."""
+    Log-step shift-max decomposition: O(log r) vector maxes per axis.
+    (Measured on TPU: 31x31 reduce_window ~800 ms; separable 1-D windows
+    ~36 ms; a cumsum box-count variant ~6 ms; this form ~3 ms.)"""
     m = mask.astype(jnp.float32)
 
     def axis_dilate(x, axis):
@@ -193,20 +193,15 @@ def dilate_mask(mask: jax.Array, radius: int) -> jax.Array:
         step = 1
         while total < radius:
             s = min(step, radius - total)
-            lo = jnp.concatenate(
-                [x[(slice(s, None),) if axis == 0 else (slice(None), slice(s, None))],
-                 jnp.zeros_like(
-                     x[(slice(0, s),) if axis == 0 else (slice(None), slice(0, s))]
-                 )],
-                axis=axis,
-            )
-            hi = jnp.concatenate(
-                [jnp.zeros_like(
-                     x[(slice(0, s),) if axis == 0 else (slice(None), slice(0, s))]
-                 ),
-                 x[(slice(None, -s),) if axis == 0 else (slice(None), slice(None, -s))]],
-                axis=axis,
-            )
+
+            def sl(a, lo, hi):
+                idx = [slice(None)] * a.ndim
+                idx[axis] = slice(lo, hi)
+                return a[tuple(idx)]
+
+            zpad = jnp.zeros_like(sl(x, 0, s))
+            lo = jnp.concatenate([sl(x, s, None), zpad], axis=axis)
+            hi = jnp.concatenate([zpad, sl(x, 0, x.shape[axis] - s)], axis=axis)
             x = jnp.maximum(x, jnp.maximum(lo, hi))
             total += s
             step *= 2

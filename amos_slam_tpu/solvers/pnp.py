@@ -25,8 +25,64 @@ import jax.numpy as jnp
 from ..geometry import se3
 from ..geometry.camera import Camera
 from .pose_opt import PoseObs, optimize_pose
+from .robust import chol_solve_unrolled, inv3x3
 
 _P = jax.lax.Precision.HIGHEST
+
+
+def _smallest_eigvec(A: jax.Array, iters: int = 4) -> jax.Array:
+    """Batched smallest-eigenvector of small SPD matrices by inverse
+    iteration with the unrolled Cholesky solver.
+
+    jnp.linalg.eigh on a (H, 12, 12) batch lowers to Jacobi sweeps on TPU
+    (~10 ms for 512 matrices); the DLT only needs the near-null vector, and
+    (A + eps I)^-1 amplifies it by ~1/eps per step -- a couple of unrolled
+    solves converge to working precision.
+    """
+    n = A.shape[-1]
+    tr = jnp.einsum("...ii->...", A)
+    Ad = A + (1e-9 * tr + 1e-12)[..., None, None] * jnp.eye(n, dtype=A.dtype)
+    x = jnp.ones(A.shape[:-1], A.dtype)
+    for _ in range(iters):
+        x = chol_solve_unrolled(Ad, x)
+        x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-30)
+    return x
+
+
+def _det3(A: jax.Array) -> jax.Array:
+    return (
+        A[..., 0, 0] * (A[..., 1, 1] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 1])
+        - A[..., 0, 1] * (A[..., 1, 0] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 0])
+        + A[..., 0, 2] * (A[..., 1, 0] * A[..., 2, 1] - A[..., 1, 1] * A[..., 2, 0])
+    )
+
+
+def _polar_so3(M: jax.Array, iters: int = 8):
+    """Batched polar decomposition M ~= R P, elementwise only (a batched
+    3x3 SVD costs milliseconds on TPU). Determinant-scaled Newton iteration
+    X <- (g X + (g X)^-T)/2 with g = |det X|^(-1/3), which converges for
+    arbitrarily ill-conditioned hypotheses (plain Newton stalls when the
+    singular values are spread, and a non-orthonormal 'R' is a free linear
+    map that overfits RANSAC scoring with garbage poses). A final
+    Gram-Schmidt guarantees R in SO(3) regardless. Returns
+    (R, mean-singular-value)."""
+    frob = jnp.sqrt(jnp.sum(M * M, axis=(-2, -1), keepdims=True))
+    X = M / jnp.maximum(frob / jnp.sqrt(3.0), 1e-12)
+    for _ in range(iters):
+        g = 1.0 / jnp.cbrt(jnp.maximum(jnp.abs(_det3(X)), 1e-12))
+        Xg = X * g[..., None, None]
+        X = 0.5 * (Xg + jnp.swapaxes(inv3x3(Xg), -1, -2))
+    # exact projection: orthonormalize columns, right-handed
+    c0 = X[..., :, 0]
+    c0 = c0 / jnp.maximum(jnp.linalg.norm(c0, axis=-1, keepdims=True), 1e-12)
+    c1 = X[..., :, 1]
+    c1 = c1 - jnp.sum(c1 * c0, axis=-1, keepdims=True) * c0
+    c1 = c1 / jnp.maximum(jnp.linalg.norm(c1, axis=-1, keepdims=True), 1e-12)
+    c2 = jnp.cross(c0, c1)
+    R = jnp.stack([c0, c1, c2], axis=-1)
+    P = jnp.einsum("...ji,...jk->...ik", R, M, precision=_P)  # R^T M (sym)
+    scale = jnp.einsum("...ii->...", P) / 3.0
+    return R, scale
 
 
 def _dlt_pose(X: jax.Array, xn: jax.Array) -> jax.Array:
@@ -46,8 +102,7 @@ def _dlt_pose(X: jax.Array, xn: jax.Array) -> jax.Array:
     r2 = jnp.concatenate([zeros, Xh, -v * Xh], axis=-1)
     A = jnp.concatenate([r1, r2], axis=1)               # (H, 2S, 12)
     AtA = jnp.einsum("hni,hnj->hij", A, A, precision=_P)
-    _, V = jnp.linalg.eigh(AtA)
-    p = V[..., :, 0].reshape(Hn, 3, 4)
+    p = _smallest_eigvec(AtA).reshape(Hn, 3, 4)
 
     M = p[..., :3]
     # sign: points must be in front (positive depth for the sample centroid)
@@ -57,11 +112,7 @@ def _dlt_pose(X: jax.Array, xn: jax.Array) -> jax.Array:
     M = M * sgn[:, None, None]
     t = p[..., 3] * sgn[:, None]
 
-    U, S_, Vt = jnp.linalg.svd(M)
-    det = jnp.linalg.det(U @ Vt)
-    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    R = U @ (D[..., :, None] * Vt)
-    scale = jnp.sum(S_ * D, axis=-1) / 3.0              # mean singular value
+    R, scale = _polar_so3(M)
     t = t / jnp.maximum(scale, 1e-9)[:, None]
     return se3.make_T(R, t)
 
@@ -115,7 +166,8 @@ def ransac_pnp(
             inv_sigma2=jnp.ones((N,)),
             valid=inliers,
         )
-        opt = optimize_pose(Tcw, cam, obs, rounds=2, iters_per_round=8)
+        opt = optimize_pose(Tcw, cam, obs, rounds=2, iters_per_round=4,
+                            unroll=True)
         # re-classify against the refined pose
         pc1 = se3.transform_points(opt.Tcw, points_w)
         z1 = pc1[..., 2]

@@ -290,29 +290,42 @@ class System:
             and self.state is TrackingState.OK
         )
         if use_dyn_fast or use_plain_fast:
-            from .frontend.tracking import fused_dynamic_step, fused_frame_step
+            from .frontend.tracking import fused_frame_step
 
             tcfg = self.cfg.tracking
             dcfg = self.cfg.dynamics
             view = self.map.local_view(self.ref_kf)
             if use_dyn_fast:
+                # TWO dispatches by design: dynamics program + tracking
+                # program (see fused_frame_step's suppress_mask note -- the
+                # combined graph compiles ~6x slower than the parts)
                 seg = (
                     jnp.asarray(seg_mask).astype(bool)
                     if seg_mask is not None
                     else jnp.zeros(g.shape, bool)
                 )
-                res = fused_dynamic_step(
-                    self.pipeline, g, d, seg, self.prev_gray, self.prev_depth,
-                    self.last_feats, self.last_Tcw, self.velocity, view,
+                T_pred = se3.orthonormalize(self.velocity @ self.last_Tcw)
+                dyn = compute_dynamics(
+                    self.cam, self.prev_gray, self.prev_depth, g, d, seg,
+                    self.last_Tcw, T_pred,
+                    self.last_feats.kp.xy, self.last_feats.kp.valid,
                     jax.random.PRNGKey(self.frame_id),
-                    self._r_mm, self._r_map,
-                    min_lm=tcfg.min_inliers_local_map,
                     epi_outlier_th=dcfg.epipolar_outlier_th,
                     mean_rpe_th=dcfg.mean_rpe_th,
                     flow3d_th=dcfg.flow3d_th,
                     n_clusters=dcfg.n_clusters,
                     slic_cell=dcfg.slic_cell,
+                    slic_iters=dcfg.slic_iters,
                     dilate_radius=dcfg.mask_dilate_radius,
+                    slic_compactness=dcfg.slic_compactness,
+                    has_seg=seg_mask is not None,
+                    slic_downsample=dcfg.slic_downsample,
+                )
+                res = fused_frame_step(
+                    self.pipeline, g, d, self.last_feats, self.last_Tcw,
+                    self.velocity, view, self._r_mm, self._r_map,
+                    min_lm=tcfg.min_inliers_local_map,
+                    suppress_mask=dyn.suppress_mask,
                 )
             else:
                 res = fused_frame_step(
@@ -609,6 +622,8 @@ class System:
                 slic_iters=dcfg.slic_iters,
                 dilate_radius=dcfg.mask_dilate_radius,
                 slic_compactness=dcfg.slic_compactness,
+                has_seg=has_seg,
+                slic_downsample=dcfg.slic_downsample,
             )
             suppress = dyn.suppress_mask
         elif has_seg:
