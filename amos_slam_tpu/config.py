@@ -108,13 +108,19 @@ class DynamicsConfig:
                                       # to -- motion along the epipolar plane)
     mean_rpe_th: float = 3.0          # cluster mean RPE gate (src/Frame.cc:626)
     mask_dilate_radius: int = 15      # seg-mask dilation (src/ORBextractor.cc:1698)
-    slic_downsample: int = 2          # SLIC at 1/ds resolution (cluster maps
-                                      # are cluster-granular; 4x less image
-                                      # traffic at ds=2, same geometry)
+    slic_downsample: int = 1          # SLIC at 1/ds resolution. Default 1:
+                                      # full-res SLIC measured FASTER on v5e
+                                      # (4.9 ms vs 22 ms -- the strided
+                                      # subsample defeats XLA's layout) AND
+                                      # it is the mask-level-validated
+                                      # setting (ds=2 shifts the adaptive
+                                      # gates enough to cost mover recall)
     max_flow_tracks: int = 1024       # static budget for LK tracks
-    lk_win: int = 11                  # LK window half-size ~ (22x22 in ref)
-    lk_levels: int = 5
-    lk_iters: int = 10
+    lk_win: int = 7                   # LK window half-size (15x15; ref 22x22)
+    lk_levels: int = 4
+    lk_iters: int = 6
+    pnp_hypotheses: int = 256         # RANSAC pose hypotheses in the dynamic
+                                      # stage (reloc keeps the solver's 512)
     person_class_id: int = 0
     seg_score_th: float = 0.15
     seg_top_k: int = 15
@@ -141,9 +147,13 @@ class MapConfig:
     max_points: int = 32768
     max_obs_per_kf: int = 1024         # == ORBConfig.max_kpts
     covis_weight_th: int = 15
-    local_window: int = 16             # KFs in local BA
-    fixed_window: int = 8              # frontier KFs held fixed in local BA
-    ba_max_points: int = 2048          # landmark slots per local BA solve
+    local_window: int = 8              # KFs in local BA (solve time scales
+                                       # ~linearly with the window; 8 free +
+                                       # 4 fixed matches the reference's
+                                       # effective covisible set on TUM-scale
+                                       # scenes at half the 16+8 cost)
+    fixed_window: int = 4              # frontier KFs held fixed in local BA
+    ba_max_points: int = 1024          # landmark slots per local BA solve
 
 
 @dataclass(frozen=True)

@@ -82,7 +82,7 @@ def _reproj_err(cam: Camera, T: jax.Array, pts_w: jax.Array, uv: jax.Array):
     jax.jit,
     static_argnames=(
         "n_clusters", "slic_cell", "slic_iters", "dilate_radius", "has_seg",
-        "slic_downsample"
+        "slic_downsample", "lk_levels", "lk_win", "lk_iters", "pnp_hypotheses",
     ),
 )
 def compute_dynamics(
@@ -91,12 +91,17 @@ def compute_dynamics(
     prev_depth: jax.Array,
     cur_gray: jax.Array,
     cur_depth: jax.Array,
-    seg_mask: jax.Array,        # (H, W) stage-1 semantic mask (0/1)
+    seg_mask: jax.Array,        # (H, W) stage-1 semantic mask (any dtype)
     last_Tcw: jax.Array,
-    T_pred: jax.Array,          # motion-model pose of the current frame
+    velocity: jax.Array,        # constant-velocity model; the motion-model
+                                # pose prediction T_pred = ortho(vel @ last)
+                                # is computed INSIDE the program -- eager
+                                # host-side pose math costs a tunnel
+                                # dispatch round trip PER OP (~55 ms/frame
+                                # measured in round 2)
     flow_pts: jax.Array,        # (N, 2) (x, y) corners in the previous frame
     flow_pts_valid: jax.Array,  # (N,)
-    key: jax.Array,
+    frame_idx,                  # () int -- folded into the RANSAC key
     epi_outlier_th: float = 1.0,
     mean_rpe_th: float = 3.0,
     flow3d_th: float = 0.04,    # meters/frame (~1.2 m/s at 30 fps)
@@ -110,9 +115,16 @@ def compute_dynamics(
     pnp_gate_trans: float = 0.15,  # m/frame (4.5 m/s at 30 fps)
     has_seg: bool = True,          # static: False compiles out stage 1
     slic_downsample: int = 1,      # static: SLIC resolution divisor
+    lk_levels: int = 4,
+    lk_win: int = 7,
+    lk_iters: int = 6,
+    pnp_hypotheses: int = 256,
 ) -> DynamicsResult:
     H, W = cur_gray.shape
     N = flow_pts.shape[0]
+    seg_mask = seg_mask.astype(bool)
+    T_pred = se3.orthonormalize(velocity @ last_Tcw)
+    key = jax.random.fold_in(jax.random.PRNGKey(20240817), frame_idx)
     k1, k2 = jax.random.split(key)
 
     # 1. optical flow + the reference's neighbourhood-SAD quality gate
@@ -126,7 +138,10 @@ def compute_dynamics(
     if N_all > 512:
         flow_pts = flow_pts[::2][:512]
         flow_pts_valid = flow_pts_valid[::2][:512]
-    flow = lk_flow(prev_gray, cur_gray, flow_pts, flow_pts_valid)
+    flow = lk_flow(
+        prev_gray, cur_gray, flow_pts, flow_pts_valid,
+        levels=lk_levels, win_half=lk_win, iters=lk_iters,
+    )
     good_track = flow.valid & (flow.err < track_err_th)
 
     # 2. 3D from the previous frame's depth; PnP vs motion-model arbitration
@@ -137,7 +152,7 @@ def compute_dynamics(
     pc0 = backproject(cam, flow_pts, jnp.maximum(d0, 1e-3))
     pts_w = se3.transform_points(se3.inv_T(last_Tcw), pc0)
 
-    pnp = ransac_pnp(cam, pts_w, flow.pts1, has3d, k2)
+    pnp = ransac_pnp(cam, pts_w, flow.pts1, has3d, k2, n_hyp=pnp_hypotheses)
     err_pred, _ = _reproj_err(cam, T_pred, pts_w, flow.pts1)
     n_pred = jnp.sum((err_pred < 2.0) & has3d)
     # Plausibility gate on the PnP winner: when a textured mover dominates
@@ -211,14 +226,12 @@ def compute_dynamics(
         jnp.abs(d1 - z_pred) < 0.3 * jnp.maximum(z_pred, 1e-3)
     )
 
-    # 6. depth clusters on the current frame. slic_downsample=2 runs SLIC
-    # at half resolution: the cluster map is cluster-granular output
-    # anyway, and SLIC's cost is pure (H, W)-map traffic (9 offsets x 5
-    # iterations x several field maps) -- 4x less at half res (~17 ms ->
-    # ~4 ms on v5e); cell size scales so the superpixel geometry in image
-    # space is unchanged. Default 1: the half-res cluster partition shifts
-    # the adaptive gates enough to cost mover recall on the synthetic
-    # suites -- revisit with per-dataset tuning.
+    # 6. depth clusters on the current frame. slic_downsample=1 (full res)
+    # is the default: it is both the mask-level-validated setting (ds=2
+    # shifts the adaptive gates enough to cost mover recall on the
+    # synthetic suites) and, measured on v5e round 2, FASTER -- the strided
+    # subsample breaks XLA's preferred layout and costs more than the 4x
+    # map-traffic saving. ds=2 remains available for very large frames.
     ds = slic_downsample
     Hh, Wh = H // ds, W // ds
     # strided subsample (NOT pooling): depth pooling mixes surfaces at

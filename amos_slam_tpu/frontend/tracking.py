@@ -47,7 +47,7 @@ def track_motion_model(
     radius: jax.Array,
     max_dist: int = 100,
     opt_rounds: int = 2,
-    opt_iters: int = 5,
+    opt_iters: int = 4,
 ) -> TrackStepResult:
     """Match last frame's depth-backed keypoints into the current frame by
     projection window, then run motion-only BA.
@@ -75,7 +75,7 @@ def track_motion_model(
     # One Hamming matrix serves both passes -- only the window mask changes.
     dist = hamming.hamming_matrix(last.desc, cur.desc)
 
-    def match_and_optimize(T_center, rad):
+    def match_and_optimize(T_center, rad, rounds):
         pc = se3.transform_points(T_center, pts_w)
         uv, z = project(cam, pc)
         vis = has_depth & (z > 0.05) & in_image(cam, uv, border=16.0)
@@ -96,7 +96,7 @@ def track_motion_model(
             valid=res.valid,
         )
         return res, optimize_pose(
-            T_center, cam, obs, rounds=opt_rounds, iters_per_round=opt_iters,
+            T_center, cam, obs, rounds=rounds, iters_per_round=opt_iters,
             unroll=True,
         )
 
@@ -106,8 +106,12 @@ def track_motion_model(
     # velocity prediction is off (the reference gets the same effect from
     # TrackLocalMap re-searching after TrackWithMotionModel,
     # src/Tracking.cc:688).
-    res1, opt1 = match_and_optimize(T_pred, radius)
-    res2, opt2 = match_and_optimize(opt1.Tcw, jnp.minimum(radius * 0.5, 5.0))
+    # Pass 2 starts from pass 1's refined pose, so ONE chi2 round suffices
+    # there -- the GN iterations are the frame program's dominant op count
+    # (each is ~30 small fused ops; the tail iterations move the pose by
+    # far less than the matcher's pixel quantization).
+    res1, opt1 = match_and_optimize(T_pred, radius, opt_rounds)
+    res2, opt2 = match_and_optimize(opt1.Tcw, jnp.minimum(radius * 0.5, 5.0), 1)
 
     # Fall back to pass 1 if the tight re-match collapsed (e.g. bad pass-1
     # pose throwing every window off).

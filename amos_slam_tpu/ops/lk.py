@@ -100,6 +100,12 @@ def lk_flow(
     Window is (2*win_half+1)^2 (15x15 default; the reference uses 22x22 --
     configure win_half=10 for parity). The validity gate folds in the
     reference's neighborhood-SAD and border filters (src/Tracking.cc:902-924).
+
+    Images are expected in [0, 255] intensity units (the repo convention):
+    ``min_eig`` and ``max_err`` are in squared-intensity / intensity units
+    respectively, so [0, 1]-normalized frames would silently fail the
+    texture gate (lam_min scales by ~255^2) -- scale such inputs by 255
+    or pass min_eig ~ 1/255**2.
     """
     pyr0 = _dyadic_pyramid(img0, levels)
     pyr1 = _dyadic_pyramid(img1, levels)

@@ -280,6 +280,13 @@ def descriptors_from_patches(
     patches: (N, P, P) float32 blurred-intensity patches;
     angle: (N,) radians; M: device copy of make_bin_sampling_matrix.
     Returns (N, 256) int8 in {0, 1}.
+
+    The patch intensities are cast to bfloat16 (8-bit significand) before
+    the sampling matmul so it rides the MXU: values quantize to ~1/256
+    relative precision, and comparator bits for near-equal sample pairs can
+    flip versus the float32 :func:`compute_descriptors` path. That path
+    remains the parity oracle (tests bound the bit-flip rate between the
+    two); self-matching stays exact because both frames quantize alike.
     """
     N = patches.shape[0]
     step = 2 * jnp.pi / n_bins

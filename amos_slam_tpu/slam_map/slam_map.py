@@ -115,11 +115,11 @@ def track_local_map(
         inv_sigma2=cur.inv_sigma2[j],
         valid=res.valid,
     )
-    # 3 rounds x 4 unrolled GN iterations: measured indistinguishable from
+    # 2 rounds x 4 unrolled GN iterations: measured indistinguishable from
     # the reference's 4 x 10 LM on ATE (the chi2 reclassification rounds
     # matter, the tail iterations and the accept/reject re-evaluation do
     # not), and several ms cheaper per frame on v5e (see optimize_pose).
-    opt = optimize_pose(Tcw0, cam, obs, rounds=3, iters_per_round=4,
+    opt = optimize_pose(Tcw0, cam, obs, rounds=2, iters_per_round=4,
                         unroll=True)
 
     # Per frame-keypoint landmark id: scatter-max over row->col matches
@@ -558,6 +558,8 @@ class SlamMap:
                 if not self.pt_alive[mine_id]:
                     continue   # culled between dispatch and (lagged) resolve
                 theirs_id = nb_obs[j]
+                if theirs_id >= 0 and not self.pt_alive[theirs_id]:
+                    continue   # ditto: never merge toward a dead landmark
                 if theirs_id < 0:
                     # the neighbour keypoint gains an observation of mine
                     self.kf_obs_np[nb][j] = mine_id

@@ -4,7 +4,7 @@ TPU-native replacement for g2o's BlockSolver_6_3 + LM pipeline as used by
 Optimizer::LocalBundleAdjustment (reference src/Optimizer.cc:629: covisible
 KFs free, frontier KFs fixed, 5 LM iterations, chi2 pruning, 10 more --
 which it ABORTS when new keyframes arrive, so its effective depth under
-load is ~5; our 4+6 default matches that effective behavior, validated to
+load is ~5; our 3+4 default matches that effective behavior, validated to
 the same ATE on the e2e suites).
 
 Design (SURVEY.md section 2b "g2o -> batched GN"):
@@ -131,8 +131,8 @@ def _residuals(cam: Camera, pose: jax.Array, points: jax.Array, prob: BAProblem)
 def solve_local_ba(
     cam: Camera,
     prob: BAProblem,
-    iters_phase1: int = 4,
-    iters_phase2: int = 6,
+    iters_phase1: int = 3,
+    iters_phase2: int = 4,
     lam0: float = 1e-4,
 ) -> BAResult:
     K, O = prob.obs_valid.shape

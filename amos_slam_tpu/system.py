@@ -53,7 +53,7 @@ class _SupervisionReader:
     map design.
     """
 
-    _MAX_GROUP = 8
+    _MAX_GROUP = 32
 
     def __init__(self):
         self._in = queue.Queue()
@@ -239,6 +239,16 @@ class System:
         self.prev_depth = None
         self.prev_kp_xy = None
         self.prev_kp_valid = None
+        self._zero_masks = {}   # (H, W) -> cached device all-false mask
+
+    def _zero_mask(self, g) -> jax.Array:
+        """Cached all-false segmentation mask (allocating one per frame is
+        an eager dispatch -- a tunnel round trip)."""
+        m = self._zero_masks.get(g.shape)
+        if m is None:
+            m = jnp.zeros(g.shape, bool)
+            self._zero_masks[g.shape] = m
+        return m
 
     # ------------------------------------------------------------------ api
     def track_rgbd(
@@ -298,18 +308,17 @@ class System:
             if use_dyn_fast:
                 # TWO dispatches by design: dynamics program + tracking
                 # program (see fused_frame_step's suppress_mask note -- the
-                # combined graph compiles ~6x slower than the parts)
-                seg = (
-                    jnp.asarray(seg_mask).astype(bool)
-                    if seg_mask is not None
-                    else jnp.zeros(g.shape, bool)
-                )
-                T_pred = se3.orthonormalize(self.velocity @ self.last_Tcw)
+                # combined graph compiles ~6x slower than the parts).
+                # NO eager device math here: every eager op in this branch
+                # is a per-frame tunnel dispatch (~55 ms/frame measured);
+                # pose prediction and the RANSAC key derive inside the
+                # jitted program from (velocity, last_Tcw, frame_id).
+                seg = seg_mask if seg_mask is not None else self._zero_mask(g)
                 dyn = compute_dynamics(
                     self.cam, self.prev_gray, self.prev_depth, g, d, seg,
-                    self.last_Tcw, T_pred,
+                    self.last_Tcw, self.velocity,
                     self.last_feats.kp.xy, self.last_feats.kp.valid,
-                    jax.random.PRNGKey(self.frame_id),
+                    self.frame_id,
                     epi_outlier_th=dcfg.epipolar_outlier_th,
                     mean_rpe_th=dcfg.mean_rpe_th,
                     flow3d_th=dcfg.flow3d_th,
@@ -320,6 +329,10 @@ class System:
                     slic_compactness=dcfg.slic_compactness,
                     has_seg=seg_mask is not None,
                     slic_downsample=dcfg.slic_downsample,
+                    lk_levels=dcfg.lk_levels,
+                    lk_win=dcfg.lk_win,
+                    lk_iters=dcfg.lk_iters,
+                    pnp_hypotheses=dcfg.pnp_hypotheses,
                 )
                 res = fused_frame_step(
                     self.pipeline, g, d, self.last_feats, self.last_Tcw,
@@ -353,9 +366,8 @@ class System:
 
         self._flush_pending()
         seg = (
-            jnp.asarray(seg_mask).astype(bool)
-            if seg_mask is not None
-            else jnp.zeros(g.shape, bool)
+            jnp.asarray(seg_mask) if seg_mask is not None
+            else self._zero_mask(g)
         )
         feats = self._extract_with_dynamics(g, d, seg, seg_mask is not None)
 
@@ -515,41 +527,51 @@ class System:
         here every device program dispatches from the tracking thread, and
         the few small host fetches resolve asynchronously through
         self._fetcher, so the tracking loop never blocks on a transfer
-        round trip. Continuations chain in FIFO order:
+        round trip.
 
-          triangulate -> [loop BoW -> detect] -> [fuse -> cull -> refresh]
-                      -> local BA dispatch
+        Fetch-chain depth is TWO round trips, not four: the triangulation
+        match table and the loop BoW transform are independent device
+        programs, so they ship home as ONE combined fetch; likewise the
+        fuse match table and the cull stats. Each tunnel round trip is
+        ~30-45 ms -- chain depth, not payload size, is what a keyframe
+        costs the pipeline.
+
+          [triangulate + loop BoW] -> resolve both, detect loop
+                                   -> [fuse + cull stats] -> resolve,
+                                      refresh -> local BA dispatch
 
         Heavy maintenance runs every 3rd keyframe: fusion/culling act on
         slowly-accumulating redundancy, and the reference's LocalMapping
         also skips them under load via its interrupt flags."""
         disp = self.map.create_new_points_dispatch(slot)
+        bow = self.loop.bow_dispatch(slot) if self.loop is not None else None
+        Told = self.map.arrays.kf_pose[slot] if self.loop is not None else None
 
-        def cont_cnp(packed):
-            self.map.create_new_points_resolve(slot, disp, packed)
+        fetch = {}
+        if disp is not None:
+            fetch["tri"] = disp["packed"]
+        if bow is not None:
+            fetch["bow"] = bow
+
+        def cont(host):
+            if disp is not None:
+                self.map.create_new_points_resolve(slot, disp, host["tri"])
+            if bow is not None and self.loop.on_keyframe_resolve(
+                slot, host["bow"]
+            ):
+                # poses were rewritten: rebase the tracker by the
+                # keyframe's correction (relative motion since the
+                # keyframe is preserved, so velocity stands)
+                Tnew = self.map.arrays.kf_pose[slot]
+                self.last_Tcw = self.last_Tcw @ se3.inv_T(Told) @ Tnew
             self._post_triangulation(slot)
 
-        if disp is None:
-            self._post_triangulation(slot)
+        if fetch:
+            self._fetcher.submit(fetch, cont)
         else:
-            self._fetcher.submit(disp["packed"], cont_cnp)
+            self._post_triangulation(slot)
 
     def _post_triangulation(self, slot: int):
-        # loop BoW dispatch first: its fetch completes without waiting on
-        # the (dispatch-only) local BA queued after it
-        if self.loop is not None:
-            Told = self.map.arrays.kf_pose[slot]
-
-            def cont_bow(ww):
-                if self.loop.on_keyframe_resolve(slot, ww):
-                    # poses were rewritten: rebase the tracker by the
-                    # keyframe's correction (relative motion since the
-                    # keyframe is preserved, so velocity stands)
-                    Tnew = self.map.arrays.kf_pose[slot]
-                    self.last_Tcw = self.last_Tcw @ se3.inv_T(Told) @ Tnew
-
-            self._fetcher.submit(self.loop.bow_dispatch(slot), cont_bow)
-
         def finish():
             # BA last, so it optimizes the post-fusion observation set
             # (reference LocalMapping order: CreateNewMapPoints ->
@@ -559,23 +581,19 @@ class System:
 
         if slot % 3 == 1:
             fdisp = self.map.fuse_neighbors_dispatch(slot)
-
-            def cont_fuse(packed):
-                if fdisp is not None:
-                    self.map.fuse_neighbors_resolve(slot, fdisp, packed)
-
-                def cont_cull(both):
-                    self.map.cull_points_resolve(both)
-                    self.map.cull_keyframes(slot)
-                    self.map.refresh_landmarks(slot)
-                    finish()
-
-                self._fetcher.submit(self.map.cull_points_dispatch(), cont_cull)
-
+            fetch = {"cull": self.map.cull_points_dispatch()}
             if fdisp is not None:
-                self._fetcher.submit(fdisp["packed"], cont_fuse)
-            else:
-                cont_fuse(None)
+                fetch["fuse"] = fdisp["packed"]
+
+            def cont_maint(host):
+                if fdisp is not None:
+                    self.map.fuse_neighbors_resolve(slot, fdisp, host["fuse"])
+                self.map.cull_points_resolve(host["cull"])
+                self.map.cull_keyframes(slot)
+                self.map.refresh_landmarks(slot)
+                finish()
+
+            self._fetcher.submit(fetch, cont_maint)
         else:
             finish()
 
@@ -607,13 +625,12 @@ class System:
             and self.state is TrackingState.OK
             and self.prev_gray is not None
         ):
-            T_pred = se3.orthonormalize(self.velocity @ self.last_Tcw)
             dyn = compute_dynamics(
                 self.cam,
                 self.prev_gray, self.prev_depth, g, d, seg,
-                self.last_Tcw, T_pred,
+                self.last_Tcw, self.velocity,
                 self.prev_kp_xy, self.prev_kp_valid,
-                jax.random.PRNGKey(self.frame_id),
+                self.frame_id,
                 epi_outlier_th=dcfg.epipolar_outlier_th,
                 mean_rpe_th=dcfg.mean_rpe_th,
                 flow3d_th=dcfg.flow3d_th,
@@ -624,6 +641,10 @@ class System:
                 slic_compactness=dcfg.slic_compactness,
                 has_seg=has_seg,
                 slic_downsample=dcfg.slic_downsample,
+                lk_levels=dcfg.lk_levels,
+                lk_win=dcfg.lk_win,
+                lk_iters=dcfg.lk_iters,
+                pnp_hypotheses=dcfg.pnp_hypotheses,
             )
             suppress = dyn.suppress_mask
         elif has_seg:

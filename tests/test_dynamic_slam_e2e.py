@@ -122,8 +122,10 @@ def test_two_stage_on_dominant_mover():
         jnp.asarray(g0), jnp.asarray(d0), jnp.asarray(g1), jnp.asarray(d1),
         jnp.zeros((480, 640), bool),
         jnp.asarray(poses[i0].astype(np.float32)),
-        jnp.asarray(poses[i0 + 1].astype(np.float32)),
-        kp.xy, kp.valid, jax.random.PRNGKey(0),
+        jnp.asarray(
+            (poses[i0 + 1] @ np.linalg.inv(poses[i0])).astype(np.float32)
+        ),
+        kp.xy, kp.valid, 0,
     )
     sup = np.asarray(res.suppress_mask)
     mover = np.asarray(m1)

@@ -36,9 +36,10 @@ def test_dynamics_flags_moving_object(dynamic_pair):
         jnp.asarray(g1), jnp.asarray(d1),
         jnp.zeros((480, 640), bool),       # no semantic mask: stage 2 only
         jnp.asarray(T0.astype(np.float32)),
-        jnp.asarray(T1.astype(np.float32)),  # oracle motion-model pose
+        # oracle constant-velocity model: T_pred = vel @ T0 = T1
+        jnp.asarray((T1 @ np.linalg.inv(T0)).astype(np.float32)),
         flow_pts, kp.valid,
-        jax.random.PRNGKey(0),
+        0,
     )
     sup = np.asarray(res.suppress_mask)
     mover = np.asarray(m1)
@@ -82,9 +83,11 @@ def test_dynamics_clean_scene_no_suppression(rng):
         jnp.asarray(g0), jnp.asarray(d0), jnp.asarray(g1), jnp.asarray(d1),
         jnp.zeros((480, 640), bool),
         jnp.asarray(poses[3].astype(np.float32)),
-        jnp.asarray(poses[4].astype(np.float32)),
+        jnp.asarray(
+            (poses[4] @ np.linalg.inv(poses[3])).astype(np.float32)
+        ),
         kp.xy, kp.valid,
-        jax.random.PRNGKey(1),
+        1,
     )
     frac = float(np.asarray(res.suppress_mask).mean())
     assert frac < 0.1, frac
