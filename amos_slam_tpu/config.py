@@ -154,6 +154,9 @@ class MapConfig:
                                        # scenes at half the 16+8 cost)
     fixed_window: int = 4              # frontier KFs held fixed in local BA
     ba_max_points: int = 1024          # landmark slots per local BA solve
+    loop_consistency_th: int = 3       # consecutive consistent covisibility
+                                       # groups before a loop candidate is
+                                       # accepted (LoopClosing.cc:48)
 
 
 @dataclass(frozen=True)

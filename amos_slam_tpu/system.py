@@ -240,6 +240,21 @@ class System:
         self.prev_kp_xy = None
         self.prev_kp_valid = None
         self._zero_masks = {}   # (H, W) -> cached device all-false mask
+        # auto-reset when tracking is lost soon after initialization with a
+        # tiny map (reference src/Tracking.cc:785-793: "Track lost soon
+        # after initialisation, reseting..."): relocalization against <= 5
+        # keyframes of a bad bootstrap rarely succeeds, so start over.
+        self._pending_reset = False
+
+    def _maybe_auto_reset(self):
+        if self._pending_reset:
+            self._pending_reset = False
+            self.reset()
+
+    def _on_lost(self):
+        self.state = TrackingState.LOST
+        if self.map.n_kfs <= 5 and not self.localization_only:
+            self._pending_reset = True
 
     def _zero_mask(self, g) -> jax.Array:
         """Cached all-false segmentation mask (allocating one per frame is
@@ -263,6 +278,7 @@ class System:
         seg_mask: optional (H, W) stage-1 semantic dynamic-object mask (the
         reference's YOLACT person mask; see models/segmenter to produce one).
         """
+        self._maybe_auto_reset()
         self.frame_id += 1
         g = jnp.asarray(gray)
         d = jnp.asarray(depth)
@@ -386,6 +402,7 @@ class System:
         """
         from .ops.stereo import match_stereo
 
+        self._maybe_auto_reset()
         self.frame_id += 1
         gl = jnp.asarray(left)
         gr = jnp.asarray(right)
@@ -444,6 +461,7 @@ class System:
 
     def track_monocular(self, gray: np.ndarray, timestamp: float):
         """Single image in, pose out (reference System::TrackMonocular)."""
+        self._maybe_auto_reset()
         self._flush_pending()
         self.frame_id += 1
         g = jnp.asarray(gray)
@@ -510,7 +528,7 @@ class System:
         else:
             # the device chain already held the pose; the next frame takes
             # the slow path, which runs relocalization
-            self.state = TrackingState.LOST
+            self._on_lost()
         self.stats.append({"matches": n_mm, "inliers": n_lm, "kf": made_kf})
 
     def _flush_pending(self):
@@ -935,7 +953,7 @@ class System:
                          "kf": False, "reloc": True}
                     )
                     return lm2.Tcw
-            self.state = TrackingState.LOST
+            self._on_lost()
             self.velocity = jnp.eye(4)
             self.stats.append({"matches": n_mm, "inliers": 0, "kf": False})
             return self.last_Tcw
