@@ -39,6 +39,17 @@ class KeyFrameDatabase:
             if lst and kf in lst:
                 lst.remove(kf)
 
+    def remap(self, lut: np.ndarray):
+        """Rewrite keyframe slot ids after a map compaction (lut: old->new,
+        -1 = culled keyframe, which is dropped from the index)."""
+        self.kf_bow = {
+            int(lut[k]): v for k, v in self.kf_bow.items() if lut[k] >= 0
+        }
+        self.inverted = {
+            w: [int(lut[k]) for k in lst if lut[k] >= 0]
+            for w, lst in self.inverted.items()
+        }
+
     def score(self, kf_a: int, kf_b: int) -> float:
         wa, va = self.kf_bow[kf_a]
         wb, vb = self.kf_bow[kf_b]

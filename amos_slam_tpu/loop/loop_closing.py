@@ -151,6 +151,11 @@ class LoopCloser:
         self.loops_closed: List[Tuple[int, int]] = []
         self.fused_last_loop = 0  # SearchAndFuse merge count (diagnostics)
         self.rejected_by_gate = 0  # guided re-search rejections (diagnostics)
+        # in-flight joint global BA (reference's detached GBA thread,
+        # src/LoopClosing.cc:881): advanced one LM phase per keyframe tick,
+        # aborted when a new loop verifies (mbStopGBA)
+        self.gba = None
+        self.gba_aborts = 0       # diagnostics
 
     # ------------------------------------------------------------------
     def bow_dispatch(self, slot: int) -> jax.Array:
@@ -173,6 +178,18 @@ class LoopCloser:
         words_np = ww[0].astype(np.int64)
         weights_np = ww[1]
 
+        # keyframes culled since the last tick leave the BoW index (the
+        # reference's KeyFrameDatabase::erase on SetBadFlag)
+        for culled in self.map.drain_culled():
+            self.db.erase(culled)
+
+        # advance the in-flight global BA by one LM phase per keyframe
+        # (each step is one async device dispatch; the host never blocks
+        # until the final finish() fetch)
+        if self.gba is not None and not self.gba.step():
+            self.gba.finish()
+            self.gba = None
+
         closed = False
         if slot - self.last_loop_kf > 5 and self.map.n_kfs > 8:
             cand = self._detect(slot, words_np, weights_np)
@@ -184,6 +201,43 @@ class LoopCloser:
 
         self.db.add(slot, words_np, weights_np)
         return closed
+
+    # ------------------------------------------------------------------
+    def remap_slots(self, lut: np.ndarray):
+        """Rewrite keyframe slot references after a map compaction. An
+        in-flight global BA snapshot indexes pre-compaction slots, so it is
+        aborted (it restarts at the next loop closure)."""
+        if self.gba is not None:
+            self.gba.abort()
+            self.gba = None
+        self.db.remap(lut)
+        groups = []
+        for g, streak in self.consistent_groups:
+            g2 = frozenset(int(lut[k]) for k in g if lut[k] >= 0)
+            if g2:
+                groups.append((g2, streak))
+        self.consistent_groups = groups
+        if self.last_loop_kf >= 0:
+            self.last_loop_kf = (
+                int(lut[self.last_loop_kf])
+                if lut[self.last_loop_kf] >= 0 else -999
+            )
+        self.loops_closed = [
+            (int(lut[a]) if lut[a] >= 0 else -1,
+             int(lut[b]) if lut[b] >= 0 else -1)
+            for a, b in self.loops_closed
+        ]
+
+    # ------------------------------------------------------------------
+    def flush_gba(self):
+        """Drain an in-flight global BA to completion (used at shutdown /
+        before exporting trajectories, where the reference joins its GBA
+        thread)."""
+        if self.gba is not None:
+            while self.gba.step():
+                pass
+            self.gba.finish()
+            self.gba = None
 
     # ------------------------------------------------------------------
     def relocalize(self, feats) -> Optional[Tuple[np.ndarray, int]]:
@@ -352,6 +406,14 @@ class LoopCloser:
             self.rejected_by_gate += 1
             return False
 
+        # a verified new loop aborts any in-flight global BA before the
+        # correction rewrites the map (reference mbStopGBA,
+        # src/LoopClosing.cc:591-595)
+        if self.gba is not None:
+            self.gba.abort()
+            self.gba = None
+            self.gba_aborts += 1
+
         T_rel = np.eye(4, dtype=np.float32)
         T_rel[:3, :3] = np.asarray(g.R)
         T_rel[:3, 3] = np.asarray(g.t)
@@ -365,11 +427,15 @@ class LoopCloser:
             slot, ids_p, np.asarray(gidx), np.asarray(gvalid)
         )
 
-        # background global refinement (RunGlobalBundleAdjustment,
-        # src/LoopClosing.cc:881): joint/alternating refinement dispatched
-        # async on device, overlapping subsequent tracking
-        from .global_ba import run_global_refinement
-        run_global_refinement(self.map, fixed_kf=cand, pose_iters=5)
+        # background joint global BA (RunGlobalBundleAdjustment,
+        # src/LoopClosing.cc:881): first LM phase dispatched now (async on
+        # device), later phases advanced by subsequent keyframe ticks, the
+        # whole solve abortable if another loop verifies meanwhile
+        from .global_ba import GlobalBundleAdjustment
+        self.gba = GlobalBundleAdjustment(self.map, fixed_kf=cand)
+        if not self.gba.step():
+            self.gba.finish()
+            self.gba = None
         return True
 
     # ------------------------------------------------------------------
@@ -439,30 +505,27 @@ class LoopCloser:
         mono = self.cfg.sensor == "mono"
         poses_old = np.array(a.kf_pose[:K])
 
-        ei, ej, eR, et, ew = [], [], [], [], []
-
-        def add_edge(i, j, w):
-            rel = poses_old[j] @ np.linalg.inv(poses_old[i])
-            ei.append(i)
-            ej.append(j)
-            eR.append(rel[:3, :3])
-            et.append(rel[:3, 3])
-            ew.append(w)
-
-        # odometry chain (the reference's spanning tree)
-        for kf in range(1, K):
-            add_edge(kf - 1, kf, 1.0)
-        # covisibility edges (weight >= threshold)
+        # odometry chain (the reference's spanning tree) + covisibility
+        # edges, built fully vectorized (the per-edge Python loop was an
+        # O(K^2)-ish scale ceiling; src/Optimizer.cc:1017 builds these from
+        # the spanning tree + covisibility graph)
         th = max(self.cfg.map.covis_weight_th, 30)
         ii, jj = np.nonzero(np.triu(m.covis[:K, :K] >= th, k=2))
-        for i, j in zip(ii.tolist(), jj.tolist()):
-            add_edge(i, j, 0.5)
-        # the loop edge, with the *measured* relative transform
-        ei.append(slot)
-        ej.append(cand)
-        eR.append(T_rel[:3, :3])
-        et.append(T_rel[:3, 3])
-        ew.append(10.0)
+        ei = np.concatenate([np.arange(K - 1), ii, [slot]]).astype(np.int64)
+        ej = np.concatenate([np.arange(1, K), jj, [cand]]).astype(np.int64)
+        ew = np.concatenate(
+            [np.ones(K - 1), np.full(len(ii), 0.5), [10.0]]
+        ).astype(np.float32)
+        # rel[e] = T_j T_i^-1 with the batched SE3 inverse
+        Ri = poses_old[ei, :3, :3]
+        ti = poses_old[ei, :3, 3]
+        Tj = poses_old[ej]
+        RiT = Ri.transpose(0, 2, 1)
+        eR = np.einsum("nij,njk->nik", Tj[:, :3, :3], RiT)
+        et = Tj[:, :3, 3] - np.einsum("nij,nj->ni", eR, ti)
+        # the loop edge carries the *measured* relative transform
+        eR[-1] = T_rel[:3, :3]
+        et[-1] = T_rel[:3, 3]
 
         E = len(ei)
         edge_s = np.ones(E, np.float32)
@@ -473,12 +536,12 @@ class LoopCloser:
             s=jnp.ones(K),
             pose_valid=jnp.ones(K, bool),
             pose_fixed=jnp.zeros(K, bool).at[cand].set(True),
-            edge_i=jnp.asarray(np.asarray(ei, np.int32)),
-            edge_j=jnp.asarray(np.asarray(ej, np.int32)),
-            edge_R=jnp.asarray(np.stack(eR).astype(np.float32)),
-            edge_t=jnp.asarray(np.stack(et).astype(np.float32)),
+            edge_i=jnp.asarray(ei.astype(np.int32)),
+            edge_j=jnp.asarray(ej.astype(np.int32)),
+            edge_R=jnp.asarray(eR.astype(np.float32)),
+            edge_t=jnp.asarray(et.astype(np.float32)),
             edge_s=jnp.asarray(edge_s),
-            edge_w=jnp.asarray(np.asarray(ew, np.float32)),
+            edge_w=jnp.asarray(ew),
         )
         res = optimize_pose_graph(prob, iters=15, fix_scale=not mono)
         R_new = np.asarray(res.R)

@@ -327,6 +327,39 @@ def refresh_landmarks_kernel(
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+def compact_keyframes_kernel(
+    m: MapArrays,
+    src: jax.Array,      # (K,) int32: old slot gathered into each new slot
+    src_ok: jax.Array,   # (K,) bool: new slot holds a real keyframe
+    lut: jax.Array,      # (K,) int32 old->new slot (-1 = culled)
+) -> MapArrays:
+    """Permute keyframe slots so alive keyframes occupy a dense prefix.
+
+    Slot reuse after culling (the reference frees KeyFrame objects via
+    SetBadFlag + erase, src/KeyFrame.cc:599; the array-resident analogue is
+    a compaction gather). The permutation preserves temporal order, so the
+    slot-order-is-chronological invariant (odometry chains, spanning-tree
+    merges) survives. pt_first_kf is remapped through the LUT; landmarks
+    whose reference keyframe was culled get -1 (re-anchor falls back to
+    their observations at the next refresh)."""
+    pf = m.pt_first_kf
+    pf_new = jnp.where(pf >= 0, lut[jnp.maximum(pf, 0)], -1)
+    return m._replace(
+        kf_pose=m.kf_pose[src],
+        kf_valid=src_ok,
+        kf_xy=m.kf_xy[src],
+        kf_ur=m.kf_ur[src],
+        kf_depth=m.kf_depth[src],
+        kf_inv_sigma2=m.kf_inv_sigma2[src],
+        kf_angle=m.kf_angle[src],
+        kf_desc=m.kf_desc[src],
+        kf_kp_valid=jnp.where(src_ok[:, None], m.kf_kp_valid[src], False),
+        kf_obs=jnp.where(src_ok[:, None], m.kf_obs[src], -1),
+        pt_first_kf=pf_new,
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def cull_points_kernel(m: MapArrays, cull_ids: jax.Array) -> MapArrays:
     """Invalidate landmarks (MapPointCulling, src/LocalMapping.cc:262) and
     erase their observations."""

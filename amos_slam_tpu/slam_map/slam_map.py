@@ -29,6 +29,7 @@ from .map_state import (
     add_points_kernel,
     apply_ba_kernel,
     bump_point_stats_kernel,
+    compact_keyframes_kernel,
     cull_points_kernel,
     empty_map,
     insert_keyframe_kernel,
@@ -335,6 +336,9 @@ class SlamMap:
         self.pt_obs_count = np.zeros(self.M, np.int32)
         self.pt_birth_kf = np.full(self.M, -1, np.int32)
         self.pt_alive = np.zeros(self.M, bool)
+        self.culled_log: list = []   # slots culled since last drain (the
+                                     # loop closer erases them from its BoW
+                                     # database on its next tick)
 
     # -- keyframe insertion ------------------------------------------------
     def insert_keyframe(
@@ -501,7 +505,102 @@ class SlamMap:
         self.covis[kf, :] = 0
         self.covis[:, kf] = 0
         self.kf_alive[kf] = False
+        self.culled_log.append(kf)
         self.arrays = _remove_kf_kernel(self.arrays, jnp.asarray(kf, jnp.int32))
+
+    def drain_culled(self) -> list:
+        out, self.culled_log = self.culled_log, []
+        return out
+
+    def grow_keyframes(self):
+        """Double keyframe capacity.
+
+        The escape hatch when the map is full and nothing is redundant
+        enough to cull (long exploratory sequences -- KITTI-style). Rare by
+        construction (log2 growth events per run), but each growth gives
+        every keyframe-shaped kernel a new compiled shape, so prefer sizing
+        MapConfig.max_keyframes for the sequence when known."""
+        K0 = self.K
+        a = self.arrays
+
+        def pad0(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full((K0,) + x.shape[1:], fill, x.dtype)], axis=0
+            )
+
+        self.arrays = a._replace(
+            kf_pose=jnp.concatenate(
+                [a.kf_pose, jnp.tile(jnp.eye(4, dtype=jnp.float32), (K0, 1, 1))]
+            ),
+            kf_valid=pad0(a.kf_valid, False),
+            kf_xy=pad0(a.kf_xy, 0.0),
+            kf_ur=pad0(a.kf_ur, -1.0),
+            kf_depth=pad0(a.kf_depth, -1.0),
+            kf_inv_sigma2=pad0(a.kf_inv_sigma2, 1.0),
+            kf_angle=pad0(a.kf_angle, 0.0),
+            kf_desc=pad0(a.kf_desc, 0),
+            kf_kp_valid=pad0(a.kf_kp_valid, False),
+            kf_obs=pad0(a.kf_obs, -1),
+        )
+        self.K = 2 * K0
+        self.kf_obs_np = np.concatenate(
+            [self.kf_obs_np, np.full((K0, self.N), -1, np.int64)]
+        )
+        self.kf_frame_id = np.concatenate(
+            [self.kf_frame_id, np.full(K0, -1, np.int64)]
+        )
+        self.kf_alive = np.concatenate([self.kf_alive, np.zeros(K0, bool)])
+        cv = np.zeros((self.K, self.K), np.int32)
+        cv[:K0, :K0] = self.covis
+        self.covis = cv
+        self.version += 1
+
+    def compact_keyframes(self):
+        """Compact alive keyframes into a dense slot prefix, freeing the
+        slots of culled keyframes for reuse (removes the hard keyframe
+        capacity ceiling for long sequences; the reference's analogue is
+        KeyFrame::SetBadFlag + erase, src/KeyFrame.cc:599-700).
+
+        Temporal slot order is preserved. Returns the old->new slot LUT
+        ((K,) int64, -1 = dead) for callers holding slot references, or
+        None if there were no dead slots to reclaim."""
+        alive = np.where(self.kf_alive[: self.n_kfs])[0]
+        A = len(alive)
+        if A == self.n_kfs:
+            return None
+        lut = np.full(self.K, -1, np.int64)
+        lut[alive] = np.arange(A)
+        src = np.zeros(self.K, np.int64)
+        src[:A] = alive
+        src_ok = np.zeros(self.K, bool)
+        src_ok[:A] = True
+
+        self.arrays = compact_keyframes_kernel(
+            self.arrays,
+            jnp.asarray(src.astype(np.int32)),
+            jnp.asarray(src_ok),
+            jnp.asarray(lut.astype(np.int32)),
+        )
+        # host mirrors follow the same permutation
+        obs_new = np.full_like(self.kf_obs_np, -1)
+        obs_new[:A] = self.kf_obs_np[alive]
+        self.kf_obs_np = obs_new
+        fid = np.full_like(self.kf_frame_id, -1)
+        fid[:A] = self.kf_frame_id[alive]
+        self.kf_frame_id = fid
+        self.kf_alive = src_ok.copy()
+        cv = np.zeros_like(self.covis)
+        cv[:A, :A] = self.covis[np.ix_(alive, alive)]
+        self.covis = cv
+        self.pt_birth_kf = np.where(
+            self.pt_birth_kf >= 0,
+            lut[np.maximum(self.pt_birth_kf, 0)],
+            -1,
+        ).astype(np.int32)
+        self.culled_log = []   # stale slot ids are meaningless post-compact
+        self.n_kfs = A
+        self.version += 1
+        return lut
 
     # -- duplicate-landmark fusion ---------------------------------------------
     def fuse_neighbors(self, slot: int, max_neighbours: int = NB_PAD) -> int:
@@ -773,7 +872,67 @@ class SlamMap:
             self.version += 1
         return created
 
-    # -- local bundle adjustment ---------------------------------------------
+    # -- bundle adjustment -----------------------------------------------------
+    def build_ba_problem(
+        self,
+        slots: np.ndarray,       # keyframe slots participating
+        free: np.ndarray,        # same length: optimize this slot's pose?
+        pt_ids: np.ndarray,      # landmark ids participating
+        Kb: int,                 # padded keyframe-slot count (static shape)
+        Vp: int,                 # padded landmark count (static shape)
+    ):
+        """Assemble a padded BAProblem over the given keyframes/landmarks
+        (shared by local and joint-global BA). Returns
+        (problem, slots_j, free_p, pt_ids_p)."""
+        pad = Kb - len(slots)
+        slots_p = np.concatenate([slots, np.zeros(pad, np.int64)])
+        slot_valid = np.concatenate(
+            [np.ones(len(slots), bool), np.zeros(pad, bool)]
+        )
+        free_p = np.concatenate([free, np.zeros(pad, bool)])
+
+        # remap landmark ids -> local indices
+        remap = np.full(self.M, -1, np.int64)
+        remap[pt_ids] = np.arange(len(pt_ids))
+        obs_local = remap[np.maximum(self.kf_obs_np[slots_p], 0)]
+        obs_local[self.kf_obs_np[slots_p] < 0] = -1
+        obs_local[~slot_valid] = -1
+
+        pt_pad = Vp - len(pt_ids)
+        pt_ids_p = np.concatenate([pt_ids, np.full(pt_pad, -1, np.int64)])
+        gather_pts = jnp.asarray(np.maximum(pt_ids_p, 0).astype(np.int32))
+
+        slots_j = jnp.asarray(slots_p.astype(np.int32))
+        kf_pose, pt_pos, pt_valid, kf_xy, kf_ur, kf_is2, kf_kpv = (
+            _gather_ba_inputs(self.arrays, slots_j, gather_pts)
+        )
+        obs_ok = jnp.asarray(obs_local >= 0)
+        prob = BAProblem(
+            kf_pose=kf_pose,
+            kf_free=jnp.asarray(free_p),
+            kf_valid=jnp.asarray(slot_valid),
+            points=pt_pos,
+            point_valid=jnp.asarray(pt_ids_p >= 0) & pt_valid,
+            obs_point=jnp.asarray(obs_local.astype(np.int32)),
+            obs_uv=kf_xy,
+            obs_ur=kf_ur,
+            obs_inv_sigma2=kf_is2,
+            obs_valid=kf_kpv & obs_ok,
+        )
+        return prob, slots_j, (free_p & slot_valid), pt_ids_p
+
+    def apply_ba_result(self, slots_j, free_p, pt_ids_p, kf_pose, points):
+        """Scatter optimized poses/points back into the map."""
+        self.version += 1
+        self.arrays = apply_ba_kernel(
+            self.arrays,
+            slots_j,
+            jnp.asarray(free_p),
+            kf_pose,
+            jnp.asarray(pt_ids_p.astype(np.int32)),
+            points,
+        )
+
     def run_local_ba(self, center_slot: int):
         """Local BA around ``center_slot`` (Optimizer::LocalBundleAdjustment
         contract: covisible window free, frontier fixed)."""
@@ -799,58 +958,19 @@ class SlamMap:
         frontier = np.where(observes & ~inset)[0][:Fw]
 
         slots = np.concatenate([window, frontier])
-        Kb = Lw + Fw
-        pad = Kb - len(slots)
-        slots_p = np.concatenate([slots, np.zeros(pad, np.int64)])
-        slot_valid = np.concatenate([np.ones(len(slots), bool), np.zeros(pad, bool)])
         free = np.concatenate(
-            [np.ones(len(window), bool),
-             np.zeros(len(frontier) + pad, bool)]
+            [np.ones(len(window), bool), np.zeros(len(frontier), bool)]
         )
         # gauge: if nothing is fixed, fix the first window KF (reference
         # fixes KF 0 via its frontier or the origin KF)
         if len(frontier) == 0:
             free[0] = False
 
-        # remap landmark ids -> local indices
-        remap = np.full(self.M, -1, np.int64)
-        remap[pt_ids] = np.arange(len(pt_ids))
-        obs_local = remap[np.maximum(self.kf_obs_np[slots_p], 0)]
-        obs_local[self.kf_obs_np[slots_p] < 0] = -1
-        obs_local[~slot_valid] = -1
-
-        Vp = Vba
-        pt_pad = Vp - len(pt_ids)
-        pt_ids_p = np.concatenate([pt_ids, np.full(pt_pad, -1, np.int64)])
-        gather_pts = jnp.asarray(np.maximum(pt_ids_p, 0).astype(np.int32))
-
-        slots_j = jnp.asarray(slots_p.astype(np.int32))
-        kf_pose, pt_pos, pt_valid, kf_xy, kf_ur, kf_is2, kf_kpv = (
-            _gather_ba_inputs(self.arrays, slots_j, gather_pts)
-        )
-        obs_ok = jnp.asarray(obs_local >= 0)
-        prob = BAProblem(
-            kf_pose=kf_pose,
-            kf_free=jnp.asarray(free),
-            kf_valid=jnp.asarray(slot_valid),
-            points=pt_pos,
-            point_valid=jnp.asarray(pt_ids_p >= 0) & pt_valid,
-            obs_point=jnp.asarray(obs_local.astype(np.int32)),
-            obs_uv=kf_xy,
-            obs_ur=kf_ur,
-            obs_inv_sigma2=kf_is2,
-            obs_valid=kf_kpv & obs_ok,
+        prob, slots_j, free_p, pt_ids_p = self.build_ba_problem(
+            slots, free, pt_ids, Lw + Fw, Vba
         )
         res = solve_local_ba(self.cam, prob)
-        self.version += 1
-        self.arrays = apply_ba_kernel(
-            self.arrays,
-            slots_j,
-            jnp.asarray(free & slot_valid),
-            res.kf_pose,
-            jnp.asarray(pt_ids_p.astype(np.int32)),
-            res.points,
-        )
+        self.apply_ba_result(slots_j, free_p, pt_ids_p, res.kf_pose, res.points)
 
     # -- maintenance -----------------------------------------------------------
     def bump_stats(self, visible_ids: jax.Array, found_ids: jax.Array):

@@ -220,6 +220,7 @@ class System:
         # thread drains finished results every frame and runs the state
         # machine / keyframe decisions on them (lag ~ 1-2 frames = the
         # tunnel round trip, never blocking dispatch)
+        self._compacting = False
         self._reader = _SupervisionReader()
         # async materializer for keyframe-rate maintenance fetches
         self._fetcher = _AsyncFetcher()
@@ -512,6 +513,7 @@ class System:
                 or n_lm < 50
             )
             if need_kf and not self.localization_only:
+                self._maybe_compact()
                 kp_point = sup[2 : 2 + N].astype(np.int64)
                 valid = sup[2 + N : 2 + 2 * N] > 0
                 close = sup[2 + 2 * N :] > 0
@@ -525,11 +527,67 @@ class System:
                 made_kf = True
         elif n_mm >= 10:
             self.state = TrackingState.OK   # pure odometry frame
+            # Close-point-starved: the local map has fallen behind the
+            # camera. Re-seed it with a keyframe built from this frame's
+            # close-depth keypoints (all-new landmarks), the reference's
+            # NeedNewKeyFrame insert-on-few-close-points rule
+            # (src/Tracking.cc:2064-2208) -- without this, a long local-map
+            # dropout degrades to raw odometry with no recovery path.
+            if (
+                not self.localization_only
+                and frame_id - self.last_kf_frame >= 3
+            ):
+                valid = sup[2 + N : 2 + 2 * N] > 0
+                close = sup[2 + 2 * N :] > 0
+                if int((valid & close).sum()) >= 100:
+                    self._maybe_compact()
+                    kp_point = np.full(N, -1, np.int64)
+                    self.ref_kf = self.map.insert_keyframe(
+                        res.feats, res.Tcw, kp_point, frame_id,
+                        valid_close=(valid, close),
+                    )
+                    self.last_kf_frame = frame_id
+                    self.last_kf_inliers = max(n_mm, 1)
+                    self._keyframe_maintenance(self.ref_kf)
+                    made_kf = True
         else:
             # the device chain already held the pose; the next frame takes
             # the slow path, which runs relocalization
             self._on_lost()
         self.stats.append({"matches": n_mm, "inliers": n_lm, "kf": made_kf})
+
+    def _maybe_compact(self):
+        """Reclaim culled keyframe slots when the map is near capacity
+        (keyframe slot reuse -- removes the 512-keyframe ceiling for long
+        sequences; see SlamMap.compact_keyframes). Pending continuations
+        hold pre-compaction slot ids, so they resolve first. Reentrancy
+        guard: the flush can resolve frames that themselves insert
+        keyframes and land back here."""
+        if self.map.n_kfs < self.map.K - 2 or self._compacting:
+            return
+        self._compacting = True
+        try:
+            self._flush_pending()
+            if self.map.n_kfs < self.map.K - 2:
+                return   # a nested resolve already compacted/culled
+            # hysteresis: compacting for a handful of slots would thrash
+            # (each compaction is a full-map gather + an insert-rate retrig)
+            dead = self.map.n_kfs - int(
+                self.map.kf_alive[: self.map.n_kfs].sum()
+            )
+            if dead < max(4, self.map.K // 16):
+                # a long exploratory sequence genuinely needs more slots
+                self.map.grow_keyframes()
+                return
+            lut = self.map.compact_keyframes()
+            if lut[self.ref_kf] >= 0:
+                self.ref_kf = int(lut[self.ref_kf])
+            else:
+                self.ref_kf = self.map.n_kfs - 1
+            if self.loop is not None:
+                self.loop.remap_slots(lut)
+        finally:
+            self._compacting = False
 
     def _flush_pending(self):
         for done in self._reader.flush():
@@ -721,16 +779,24 @@ class System:
         self._mono_ref = None
 
     def global_refine(self):
-        """Full-map refinement (reference global BA): pose graph over all
-        keyframes + batched structure-only landmark refit."""
+        """Full-map refinement (reference global BA): joint camera+structure
+        LM over all keyframes (Optimizer::GlobalBundleAdjustemnt), preceded
+        by a pose-graph + structure-only pass that carries gross corrections
+        so the joint solve starts near its basin."""
         self._flush_pending()
-        from .loop.global_ba import run_global_refinement
+        from .loop.global_ba import GlobalBundleAdjustment, run_global_refinement
 
+        if self.loop is not None:
+            self.loop.flush_gba()
         run_global_refinement(self.map)
+        if self.map.n_kfs >= 3:
+            GlobalBundleAdjustment(self.map).run()
 
     def shutdown(self):
         """Resolve pending supervision and drain dispatched device work."""
         self._flush_pending()
+        if self.loop is not None:
+            self.loop.flush_gba()
         self._reader.stop()
         self._fetcher.stop()
         jax.block_until_ready(self.map.arrays)
@@ -971,6 +1037,7 @@ class System:
         )
         made_kf = False
         if need_kf and n_lm >= tcfg.min_inliers_local_map and not self.localization_only:
+            self._maybe_compact()
             if kp_point is None:
                 kp_point = np.array(lm.kp_point_id)
             self.ref_kf = self.map.insert_keyframe(

@@ -1,0 +1,186 @@
+"""Joint global bundle adjustment: convergence, abort, mid-solve merge.
+
+Covers the reference's RunGlobalBundleAdjustment contract
+(src/LoopClosing.cc:881-1040 + src/Optimizer.cc:55-361): a full joint
+camera+structure solve that (a) recovers pose perturbations pose-graph
+refinement cannot (the pose graph's relative-pose measurements are taken
+from the current — perturbed — poses, so it is already at its own
+optimum), (b) discards its result when aborted by a new loop, and
+(c) propagates its correction onto keyframes inserted while it ran.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from amos_slam_tpu.config import SystemConfig, MapConfig, TrackingConfig
+from amos_slam_tpu.system import System
+from amos_slam_tpu.io import synthetic, evaluate
+from amos_slam_tpu.loop.global_ba import GlobalBundleAdjustment, run_global_refinement
+
+
+@pytest.fixture(scope="module")
+def planes():
+    return synthetic.default_room(seed=17)
+
+
+def sweep_poses(n_frames):
+    # aggressive sweep: enough baseline/rotation per frame to trigger the
+    # inlier-drop keyframe rule (~1 KF per 4-5 frames)
+    return synthetic.orbit_trajectory(
+        n_frames, radius=0.5, advance=1.6, yaw_amp=0.25
+    )
+
+
+def make_run(planes, poses=None, n_frames=30):
+    cfg = SystemConfig(
+        map=MapConfig(max_keyframes=32, max_points=8192),
+        tracking=TrackingConfig(max_map_points_local=2048),
+        use_dynamics=False,
+    )
+    poses = poses if poses is not None else sweep_poses(n_frames)
+    slam = System(cfg)
+    for i, T in enumerate(poses):
+        g, d = synthetic.render(planes, T)
+        slam.track_rgbd(g, d, i / 30.0)
+    slam._flush_pending()
+    return slam, poses
+
+
+def perturb_poses(m, sigma_t=0.03, sigma_r=0.02, seed=3):
+    """Perturb every keyframe pose but KF0 (the gauge). Returns the clean
+    poses for later restore/compare."""
+    K = m.n_kfs
+    clean = np.array(m.arrays.kf_pose[:K])
+    rng = np.random.default_rng(seed)
+    pert = clean.copy()
+    for k in range(1, K):
+        dt = rng.normal(0, sigma_t, 3)
+        w = rng.normal(0, sigma_r, 3)
+        th = np.linalg.norm(w)
+        ax = w / max(th, 1e-12)
+        Kx = np.array(
+            [[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]]
+        )
+        dR = np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * Kx @ Kx
+        pert[k, :3, :3] = dR @ clean[k, :3, :3]
+        pert[k, :3, 3] = clean[k, :3, 3] + dt
+    m.version += 1
+    m.arrays = m.arrays._replace(
+        kf_pose=m.arrays.kf_pose.at[jnp.arange(K)].set(
+            jnp.asarray(pert.astype(np.float32))
+        )
+    )
+    return clean
+
+
+def pose_err(m, clean):
+    K = len(clean)
+    now = np.array(m.arrays.kf_pose[:K])
+    return np.linalg.norm(now[:, :3, 3] - clean[:, :3, 3], axis=1)
+
+
+def test_joint_gba_beats_motion_then_structure(planes):
+    slam, _ = make_run(planes)
+    m = slam.map
+    assert m.n_kfs >= 6
+
+    # -- baseline: pose-graph + structure-only on the perturbed map
+    pts_clean = np.array(m.arrays.pt_pos)
+    clean = perturb_poses(m)
+    run_global_refinement(m)
+    err_alt = pose_err(m, clean)
+
+    # -- restore clean poses AND points, re-perturb identically, joint GBA
+    m.version += 1
+    m.arrays = m.arrays._replace(
+        kf_pose=m.arrays.kf_pose.at[jnp.arange(len(clean))].set(
+            jnp.asarray(clean.astype(np.float32))
+        ),
+        pt_pos=jnp.asarray(pts_clean),
+    )
+    perturb_poses(m)  # same seed -> identical perturbation
+    err_before = pose_err(m, clean)
+    GlobalBundleAdjustment(m).run()
+    err_joint = pose_err(m, clean)
+
+    # joint BA must pull the poses back toward truth; the pose graph
+    # cannot (its measurements are the perturbed relative poses)
+    assert np.median(err_joint) < 0.35 * np.median(err_before), (
+        np.median(err_joint), np.median(err_before)
+    )
+    assert np.median(err_joint) < 0.6 * np.median(err_alt), (
+        np.median(err_joint), np.median(err_alt)
+    )
+    slam.shutdown()
+
+
+def test_gba_abort_discards_result(planes):
+    slam, _ = make_run(planes, n_frames=24)
+    m = slam.map
+    clean = perturb_poses(m, seed=5)
+    pts_before = np.array(m.arrays.pt_pos)
+    poses_before = np.array(m.arrays.kf_pose[: m.n_kfs])
+    v0 = m.version
+
+    gba = GlobalBundleAdjustment(m)
+    gba.step()          # dispatch one LM phase
+    gba.abort()         # new loop arrived (reference mbStopGBA)
+    gba.finish()        # must be a no-op
+    assert gba.aborted and not gba.finished
+
+    np.testing.assert_array_equal(
+        np.array(m.arrays.kf_pose[: m.n_kfs]), poses_before
+    )
+    np.testing.assert_array_equal(np.array(m.arrays.pt_pos), pts_before)
+    assert m.version == v0
+    # run() with an immediately-true abort check also discards
+    gba2 = GlobalBundleAdjustment(m)
+    gba2.run(abort_check=lambda: True)
+    assert gba2.aborted
+    np.testing.assert_array_equal(
+        np.array(m.arrays.kf_pose[: m.n_kfs]), poses_before
+    )
+    slam.shutdown()
+
+
+def test_gba_merges_keyframes_inserted_during_solve(planes):
+    full = sweep_poses(34)
+    slam, _ = make_run(planes, poses=full[:22])
+    m = slam.map
+    clean = perturb_poses(m, sigma_t=0.02, sigma_r=0.01, seed=7)
+    k0 = m.n_kfs
+
+    gba = GlobalBundleAdjustment(m)
+    gba.step()
+
+    # keyframes arrive while the solve is in flight
+    for i, T in enumerate(full[22:]):
+        g, d = synthetic.render(planes, T)
+        slam.track_rgbd(g, d, (22 + i) / 30.0)
+    slam._flush_pending()
+    k_now = m.n_kfs
+    assert k_now > k0, "fixture must insert keyframes mid-solve"
+    rel_before = [
+        np.array(m.arrays.kf_pose[k]) @ np.linalg.inv(
+            np.array(m.arrays.kf_pose[k - 1])
+        )
+        for k in range(k0, k_now)
+    ]
+
+    while gba.step():
+        pass
+    gba.finish()
+
+    # optimized keyframes moved back toward truth
+    err_after = pose_err(m, clean)[1:k0]
+    assert np.median(err_after) < 0.015, np.median(err_after)
+    # merged keyframes kept their relative pose to the parent (the
+    # spanning-tree merge propagates the correction, it does not distort
+    # the post-snapshot odometry)
+    for j, k in enumerate(range(k0, k_now)):
+        rel_after = np.array(m.arrays.kf_pose[k]) @ np.linalg.inv(
+            np.array(m.arrays.kf_pose[k - 1])
+        )
+        assert np.allclose(rel_after, rel_before[j], atol=1e-4), k
+    slam.shutdown()
