@@ -119,6 +119,13 @@ def compute_dynamics(
     lk_win: int = 7,
     lk_iters: int = 6,
     pnp_hypotheses: int = 256,
+    cur_rgb: Optional[jax.Array] = None,  # (H, W, 3) uint8/float RGB of the
+                                # current frame; when given, SLIC runs in
+                                # CIELAB like the reference
+                                # (src/cluster.cc:88-146) instead of on
+                                # grayscale -- chroma-distinct surfaces then
+                                # get their own superpixels even when
+                                # luma-matched to their background
 ) -> DynamicsResult:
     H, W = cur_gray.shape
     N = flow_pts.shape[0]
@@ -237,10 +244,19 @@ def compute_dynamics(
     # strided subsample (NOT pooling): depth pooling mixes surfaces at
     # object boundaries, which smears the depth clusters the whole stage
     # keys on
-    gray_h = cur_gray[:: ds, :: ds][:Hh, :Wh]
+    if cur_rgb is not None:
+        from ..ops.slic import rgb_to_lab
+
+        # Lab channels span ~[0,100]/[-100,100] vs gray's [0,255]: rescale
+        # so the configured compactness keeps the same spatial/appearance
+        # balance in both modes
+        feat_img = rgb_to_lab(cur_rgb)[:: ds, :: ds][:Hh, :Wh] * 2.55
+    else:
+        feat_img = cur_gray[:: ds, :: ds][:Hh, :Wh]
     depth_h = cur_depth[:: ds, :: ds][:Hh, :Wh]
     cl = slic_kmeans(
-        gray_h, depth_h, cell=max(slic_cell // ds, 4) if ds > 1 else slic_cell,
+        feat_img, depth_h,
+        cell=max(slic_cell // ds, 4) if ds > 1 else slic_cell,
         compactness=slic_compactness, slic_iters=slic_iters, k=n_clusters,
     )
 

@@ -29,6 +29,17 @@ class Plane:
     bounds: Tuple[float, float, float, float]
     texture: np.ndarray
     tex_scale: float = 80.0  # texture pixels per world unit
+    # chroma tint (r, g, b) weights, luma-normalized at render time so the
+    # GRAYSCALE image is identical whatever the tint -- lets tests build
+    # luma-matched but chroma-distinct surfaces (the CIELAB SLIC contract)
+    chroma: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # texture anchor in the plane's free-axis coordinates: texture is
+    # sampled at (pa - anchor_a, pb - anchor_b). Default (0, 0) keeps the
+    # texture fixed in WORLD space -- correct for static walls. A moving
+    # plane must move its anchor along with its bounds, or the render is a
+    # sliding window over static texture (no apparent motion -> no LK
+    # signal, which silently defeats any mover test).
+    tex_anchor: Tuple[float, float] = (0.0, 0.0)
 
 
 def _block_texture(rng, size=256, block=8, contrast=180.0):
@@ -74,6 +85,7 @@ def room_with_mover(seed: int = 0, t: float = 0.0, speed: float = 1.2):
     mover = Plane(
         2, 2.6, (x0, x0 + 0.7, -1.1, 0.9),
         _block_texture(rng, block=6), tex_scale=90.0,
+        tex_anchor=(x0, 0.0),   # texture rides with the plane: real motion
     )
     planes.append(mover)
     return planes, len(planes) - 1
@@ -104,12 +116,16 @@ def render(
     fx=535.4, fy=539.2, cx=320.1, cy=247.6,
     width=640, height=480,
     return_ids: bool = False,
+    return_rgb: bool = False,
 ):
-    """Raycast the scene from camera pose Tcw -> (gray, depth[, plane_ids]).
+    """Raycast the scene from camera pose Tcw -> (gray, depth[, plane_ids]
+    [, rgb]).
 
     plane_ids: (H, W) int32, index into ``planes`` of the visible surface
     (-1 = background). Used as a ground-truth instance mask when testing the
-    dynamic-rejection / segmentation stack."""
+    dynamic-rejection / segmentation stack.
+    rgb: (H, W, 3) uint8, each plane's texture tinted by its luma-normalized
+    ``chroma`` -- gray stays bit-identical to the no-color render."""
     Twc = np.linalg.inv(Tcw)
     Rwc, twc = Twc[:3, :3], Twc[:3, 3]
     xs = (np.arange(width, dtype=np.float64) - cx) / fx
@@ -121,6 +137,8 @@ def render(
     best_t = np.full((height, width), np.inf)
     gray = np.zeros((height, width), np.float32)
     ids = np.full((height, width), -1, np.int32)
+    rgb = np.zeros((height, width, 3), np.float32) if return_rgb else None
+    _LUMA = np.asarray([0.2126, 0.7152, 0.0722])
 
     free_axes = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
     for pid, pl in enumerate(planes):
@@ -140,15 +158,29 @@ def render(
         )
         if not hit.any():
             continue
-        val = _sample_tex(pl.texture, pa[hit], pb[hit], pl.tex_scale)
+        val = _sample_tex(
+            pl.texture,
+            pa[hit] - pl.tex_anchor[0],
+            pb[hit] - pl.tex_anchor[1],
+            pl.tex_scale,
+        )
         gray[hit] = val.astype(np.float32)
         best_t[hit] = t[hit]
         ids[hit] = pid
+        if return_rgb:
+            ch = np.asarray(pl.chroma, np.float64)
+            ch = ch / max(float(ch @ _LUMA), 1e-6)   # luma-normalize
+            rgb[hit] = np.clip(
+                val[:, None] * ch[None, :], 0, 255
+            ).astype(np.float32)
 
     depth = np.where(np.isfinite(best_t), best_t, 0.0).astype(np.float32)
+    out = [gray, depth]
     if return_ids:
-        return gray, depth, ids
-    return gray, depth
+        out.append(ids)
+    if return_rgb:
+        out.append(rgb.astype(np.uint8))
+    return tuple(out) if len(out) > 2 else (gray, depth)
 
 
 def orbit_trajectory(n_frames: int, radius=0.25, advance=0.4, yaw_amp=0.06):

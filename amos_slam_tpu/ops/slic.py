@@ -27,6 +27,30 @@ import jax.numpy as jnp
 OFFSETS = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
 
 
+def rgb_to_lab(rgb: jax.Array) -> jax.Array:
+    """(H, W, 3) RGB in [0, 255] -> CIELAB (L in [0,100], a/b ~ [-128,127]).
+
+    The reference runs SLIC in CIELAB (src/cluster.cc:88-146 converts with
+    cv::COLOR_BGR2Lab); pure elementwise math, fuses into the SLIC program.
+    D65 white point, sRGB gamma."""
+    c = rgb.astype(jnp.float32) / 255.0
+    lin = jnp.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+    r, g, b = lin[..., 0], lin[..., 1], lin[..., 2]
+    # sRGB -> XYZ (D65), normalized by the white point
+    x = (0.4124564 * r + 0.3575761 * g + 0.1804375 * b) / 0.95047
+    y = 0.2126729 * r + 0.7151522 * g + 0.0721750 * b
+    z = (0.0193339 * r + 0.1191920 * g + 0.9503041 * b) / 1.08883
+    eps, kap = 216.0 / 24389.0, 24389.0 / 27.0
+
+    def f(t):
+        return jnp.where(t > eps, jnp.cbrt(t), (kap * t + 16.0) / 116.0)
+
+    fx, fy, fz = f(x), f(y), f(z)
+    return jnp.stack(
+        [116.0 * fy - 16.0, 500.0 * (fx - fy), 200.0 * (fy - fz)], axis=-1
+    )
+
+
 class ClusterResult(NamedTuple):
     pixel_cluster: jax.Array   # (H, W) int32 in [0, k)
     pixel_super: jax.Array     # (H, W) int32 superpixel label
@@ -60,7 +84,7 @@ def _block_sum(img: jax.Array, cell: int, gh: int, gw: int) -> jax.Array:
 
 
 def slic_kmeans(
-    gray: jax.Array,
+    image: jax.Array,
     depth: jax.Array,
     cell: int = 16,
     compactness: float = 10.0,
@@ -68,57 +92,65 @@ def slic_kmeans(
     k: int = 15,
     kmeans_iters: int = 10,
 ) -> ClusterResult:
-    H, W = gray.shape
+    """``image``: (H, W) grayscale or (H, W, C) feature channels -- pass
+    :func:`rgb_to_lab` output for the reference's CIELAB SLIC
+    (src/cluster.cc:88-146); grayscale remains supported for sensors that
+    only provide intensity."""
+    if image.ndim == 2:
+        image = image[..., None]
+    H, W, C = image.shape
+    chans = tuple(image[..., c] for c in range(C))
     gh, gw = -(-H // cell), -(-W // cell)
     G = gh * gw
 
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    ones = jnp.ones((H, W), gray.dtype)
+    ones = jnp.ones((H, W), chans[0].dtype)
 
     def centers_from_offsets(best_o):
         """Accumulate per-field cell sums routed by the chosen offset."""
-        fields = (ys, xs, gray, ones)
-        accs = [jnp.zeros((gh, gw), gray.dtype) for _ in fields]
+        fields = (ys, xs) + chans + (ones,)
+        accs = [jnp.zeros((gh, gw), chans[0].dtype) for _ in fields]
         for o, (dy, dx) in enumerate(OFFSETS):
-            mask = (best_o == o).astype(gray.dtype)
+            mask = (best_o == o).astype(chans[0].dtype)
             for fi, f in enumerate(fields):
                 bs = _block_sum(f * mask, cell, gh, gw)
                 # pixels in home cell (i, j) with offset o feed center
                 # (i+dy, j+dx): shift the block sums by (-dy, -dx)
                 accs[fi] = accs[fi] + _shift_grid(bs, -dy, -dx)
-        cnt = jnp.maximum(accs[3], 1.0)
-        return accs[0] / cnt, accs[1] / cnt, accs[2] / cnt
+        cnt = jnp.maximum(accs[-1], 1.0)
+        return accs[0] / cnt, accs[1] / cnt, tuple(a / cnt for a in accs[2:-1])
 
     # initial centers: plain cell means (offset 4 == (0, 0) everywhere)
-    c_y, c_x, c_i = centers_from_offsets(jnp.full((H, W), 4, jnp.int32))
+    c_y, c_x, c_ch = centers_from_offsets(jnp.full((H, W), 4, jnp.int32))
 
     inv_m2 = 1.0 / (compactness * compactness)
     inv_s2 = 1.0 / (cell * cell)
 
     best_o = jnp.full((H, W), 4, jnp.int32)
     for _ in range(slic_iters):
-        best_d = jnp.full((H, W), jnp.inf, gray.dtype)
+        best_d = jnp.full((H, W), jnp.inf, chans[0].dtype)
         bo = jnp.zeros((H, W), jnp.int32)
         for o, (dy, dx) in enumerate(OFFSETS):
             cy_map = _upsample(_shift_grid(c_y, dy, dx), cell, H, W)
             cx_map = _upsample(_shift_grid(c_x, dy, dx), cell, H, W)
-            ci_map = _upsample(_shift_grid(c_i, dy, dx), cell, H, W)
             dyy = ys - cy_map
             dxx = xs - cx_map
-            dii = gray - ci_map
-            D = (dyy * dyy + dxx * dxx) * inv_s2 + dii * dii * inv_m2
+            D = (dyy * dyy + dxx * dxx) * inv_s2
+            for ch, c_c in zip(chans, c_ch):
+                dii = ch - _upsample(_shift_grid(c_c, dy, dx), cell, H, W)
+                D = D + dii * dii * inv_m2
             take = D < best_d
             best_d = jnp.where(take, D, best_d)
             bo = jnp.where(take, o, bo)
         best_o = bo
-        c_y, c_x, c_i = centers_from_offsets(best_o)
+        c_y, c_x, c_ch = centers_from_offsets(best_o)
 
     # depth means per superpixel with the final assignment
     fields = (depth, ones)
-    accs = [jnp.zeros((gh, gw), gray.dtype) for _ in fields]
+    accs = [jnp.zeros((gh, gw), chans[0].dtype) for _ in fields]
     for o, (dy, dx) in enumerate(OFFSETS):
-        mask = (best_o == o).astype(gray.dtype)
+        mask = (best_o == o).astype(chans[0].dtype)
         for fi, f in enumerate(fields):
             bs = _block_sum(f * mask, cell, gh, gw)
             accs[fi] = accs[fi] + _shift_grid(bs, -dy, -dx)
@@ -133,16 +165,23 @@ def slic_kmeans(
     lx = jnp.clip(hx + dx_tab[best_o], 0, gw - 1)
     label = ly * gw + lx
 
-    # ---- k-means over superpixel centers: (x, y, depth), normalized ------
-    feat = jnp.stack(
-        [
-            c_x.reshape(-1) / W,
-            c_y.reshape(-1) / H,
-            c_d.reshape(-1) / jnp.maximum(jnp.max(c_d), 1e-6),
-        ],
-        axis=-1,
-    )  # (G, 3) -- the reference's "normalized image distance + normalized
-       # depth distance" metric (src/cluster.cc:372-385)
+    # ---- k-means over superpixel centers, normalized features ------------
+    # The reference's distEclud (src/cluster.cc:372-385) sums normalized
+    # image-position distance + normalized depth distance; its center struct
+    # also carries per-superpixel (L, A, B) means and a /sqrt(3*255^2)
+    # color term that is present but commented out. In color mode we enable
+    # that term: without it a chroma-distinct mover at near-background depth
+    # merges into the background cluster and its dynamic votes dilute away
+    # -- the exact failure CIELAB SLIC is meant to prevent. Grayscale mode
+    # keeps the reference's shipped (x, y, depth) metric.
+    feat_cols = [
+        c_x.reshape(-1) / W,
+        c_y.reshape(-1) / H,
+        c_d.reshape(-1) / jnp.maximum(jnp.max(c_d), 1e-6),
+    ]
+    if C > 1:
+        feat_cols += [c.reshape(-1) / 255.0 for c in c_ch]
+    feat = jnp.stack(feat_cols, axis=-1)   # (G, 3 [+C])
     stride = max(G // k, 1)
     centers = feat[::stride][:k]
     if centers.shape[0] < k:
