@@ -419,6 +419,9 @@ class LoopCloser:
         T_rel[:3, 3] = np.asarray(g.t)
         s_rel = float(g.s)
         self._pose_graph_correct(slot, cand, T_rel, s_rel)
+        # persist the loop edge (KeyFrame::AddLoopEdge): future essential
+        # graphs keep this loop rigid, and its endpoints are cull-protected
+        self.map.loop_edges.append((slot, cand, T_rel.copy(), s_rel))
 
         # SearchAndFuse (src/LoopClosing.cc:690-810): merge duplicate
         # landmarks across the two sides of the loop using the guided-
@@ -505,16 +508,30 @@ class LoopCloser:
         mono = self.cfg.sensor == "mono"
         poses_old = np.array(a.kf_pose[:K])
 
-        # odometry chain (the reference's spanning tree) + covisibility
-        # edges, built fully vectorized (the per-edge Python loop was an
-        # O(K^2)-ish scale ceiling; src/Optimizer.cc:1017 builds these from
-        # the spanning tree + covisibility graph)
+        # essential graph = spanning tree + strong covisibility + persistent
+        # loop edges + the new loop edge (src/Optimizer.cc:1017 builds the
+        # same four families), fully vectorized (no per-edge Python loop)
         th = max(self.cfg.map.covis_weight_th, 30)
         ii, jj = np.nonzero(np.triu(m.covis[:K, :K] >= th, k=2))
-        ei = np.concatenate([np.arange(K - 1), ii, [slot]]).astype(np.int64)
-        ej = np.concatenate([np.arange(1, K), jj, [cand]]).astype(np.int64)
+        # spanning-tree backbone (KeyFrame::mpParent): child -> parent for
+        # every alive keyframe; stays connected through culls via the
+        # SetBadFlag reparenting in slam_map.remove_keyframe
+        par = m.kf_parent[:K]
+        child = np.where((par >= 0) & m.kf_alive[:K])[0]
+        # persistent loop edges from earlier closures (KeyFrame::mLoopEdges)
+        # keep already-closed loops rigid while this correction warps the
+        # rest of the trajectory around the new one
+        old_loops = [
+            (i, j, T, s) for (i, j, T, s) in m.loop_edges
+            if i < K and j < K and m.kf_alive[i] and m.kf_alive[j]
+        ]
+        oi = np.asarray([e[0] for e in old_loops], np.int64)
+        oj = np.asarray([e[1] for e in old_loops], np.int64)
+        ei = np.concatenate([child, ii, oi, [slot]]).astype(np.int64)
+        ej = np.concatenate([par[child], jj, oj, [cand]]).astype(np.int64)
         ew = np.concatenate(
-            [np.ones(K - 1), np.full(len(ii), 0.5), [10.0]]
+            [np.ones(len(child)), np.full(len(ii), 0.5),
+             np.full(len(oi), 10.0), [10.0]]
         ).astype(np.float32)
         # rel[e] = T_j T_i^-1 with the batched SE3 inverse
         Ri = poses_old[ei, :3, :3]
@@ -523,12 +540,16 @@ class LoopCloser:
         RiT = Ri.transpose(0, 2, 1)
         eR = np.einsum("nij,njk->nik", Tj[:, :3, :3], RiT)
         et = Tj[:, :3, 3] - np.einsum("nij,nj->ni", eR, ti)
-        # the loop edge carries the *measured* relative transform
-        eR[-1] = T_rel[:3, :3]
-        et[-1] = T_rel[:3, 3]
-
         E = len(ei)
         edge_s = np.ones(E, np.float32)
+        # measured relative transforms for the old + new loop edges (the
+        # odometry-derived rel would be wrong across a loop by definition)
+        for k, (_, _, T_o, s_o) in enumerate(old_loops):
+            eR[len(child) + len(ii) + k] = T_o[:3, :3]
+            et[len(child) + len(ii) + k] = T_o[:3, 3]
+            edge_s[len(child) + len(ii) + k] = s_o
+        eR[-1] = T_rel[:3, :3]
+        et[-1] = T_rel[:3, 3]
         edge_s[-1] = s_rel
         prob = PoseGraphProblem(
             R=jnp.asarray(poses_old[:, :3, :3].astype(np.float32)),

@@ -28,6 +28,16 @@ def save_map(path: str, slam_map) -> None:
         pt_birth_kf=slam_map.pt_birth_kf,
         pt_alive=slam_map.pt_alive,
         kf_alive=slam_map.kf_alive,
+        kf_parent=slam_map.kf_parent,
+        loop_edge_ij=np.asarray(
+            [[i, j] for i, j, _, _ in slam_map.loop_edges], np.int64
+        ).reshape(-1, 2),
+        loop_edge_T=np.asarray(
+            [T for _, _, T, _ in slam_map.loop_edges], np.float64
+        ).reshape(-1, 4, 4),
+        loop_edge_s=np.asarray(
+            [s for _, _, _, s in slam_map.loop_edges], np.float64
+        ),
     )
 
 
@@ -50,5 +60,18 @@ def load_map(path: str, slam_map) -> None:
         slam_map.kf_alive = z["kf_alive"]
     else:   # older checkpoints: every stored keyframe slot is alive
         slam_map.kf_alive = np.arange(slam_map.K) < slam_map.n_kfs
+    if "kf_parent" in z:
+        slam_map.kf_parent = z["kf_parent"]
+        slam_map.loop_edges = [
+            (int(ij[0]), int(ij[1]), T, float(s))
+            for ij, T, s in zip(
+                z["loop_edge_ij"], z["loop_edge_T"], z["loop_edge_s"]
+            )
+        ]
+    else:   # older checkpoints: chain-parent tree, no recorded loop edges
+        par = np.full(slam_map.K, -1, np.int64)
+        par[1 : slam_map.n_kfs] = np.arange(slam_map.n_kfs - 1)
+        slam_map.kf_parent = par
+        slam_map.loop_edges = []
     slam_map.version += 1
     slam_map._view_cache = {}

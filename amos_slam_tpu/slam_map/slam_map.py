@@ -339,6 +339,16 @@ class SlamMap:
         self.culled_log: list = []   # slots culled since last drain (the
                                      # loop closer erases them from its BoW
                                      # database on its next tick)
+        # spanning tree (KeyFrame::mpParent, src/KeyFrame.cc:599-700): each
+        # keyframe's parent is its strongest-covisibility predecessor;
+        # culling reparents children, so the tree stays connected and gives
+        # the essential graph its backbone edges
+        self.kf_parent = np.full(self.K, -1, np.int64)
+        # persistent loop edges (KeyFrame::AddLoopEdge): every accepted
+        # loop closure's (slot_i, slot_j, T_rel 4x4, s_rel) -- included in
+        # all future essential-graph optimizations, and their endpoint
+        # keyframes are protected from culling (the reference's mbNotErase)
+        self.loop_edges: list = []
 
     # -- keyframe insertion ------------------------------------------------
     def insert_keyframe(
@@ -420,6 +430,20 @@ class SlamMap:
         seen = seen[seen >= 0]
         self.pt_obs_count[seen] += 1
         self._update_covisibility(slot)
+        # spanning-tree parent: strongest covisible predecessor (the
+        # reference parents a new KF to its max-weight connection on the
+        # first UpdateConnections, src/KeyFrame.cc:446-456); fall back to
+        # the latest alive predecessor for a covisibility-free insert
+        if slot > 0:
+            w = self.covis[slot, :slot].copy()
+            w[~self.kf_alive[:slot]] = 0
+            p = int(np.argmax(w))
+            if w[p] == 0:
+                alive_prev = np.where(self.kf_alive[:slot])[0]
+                p = int(alive_prev[-1]) if len(alive_prev) else -1
+            self.kf_parent[slot] = p
+        else:
+            self.kf_parent[slot] = -1
         self.version += 1
         return slot
 
@@ -480,8 +504,15 @@ class SlamMap:
         slot (kf_valid=False removes it from BA/loop candidacy)."""
         culled = 0
         cands = self.local_keyframes(around, self.cfg.map.local_window)
+        protected = {e[0] for e in self.loop_edges} | {
+            e[1] for e in self.loop_edges
+        }
         for kf in cands.tolist():
             if kf == 0 or kf == around or not self.kf_alive[kf]:
+                continue
+            # loop-edge endpoints anchor the essential graph and are never
+            # culled (the reference's mbNotErase, src/KeyFrame.cc:566-597)
+            if kf in protected:
                 continue
             obs = self.kf_obs_np[kf]
             ids = obs[obs >= 0]
@@ -502,9 +533,25 @@ class SlamMap:
         ids = obs[obs >= 0]
         self.pt_obs_count[ids] -= 1
         self.kf_obs_np[kf] = -1
+        # SetBadFlag reparenting (src/KeyFrame.cc:599-700): children of the
+        # removed keyframe re-attach to their strongest alive covisible
+        # predecessor, falling back to the removed keyframe's own parent --
+        # the spanning tree stays connected through culls
+        children = np.where(
+            (self.kf_parent[: self.n_kfs] == kf) & self.kf_alive[: self.n_kfs]
+        )[0]
+        for ch in children:
+            w = self.covis[ch, :ch].copy()
+            w[~self.kf_alive[:ch]] = 0
+            w[kf] = 0
+            p = int(np.argmax(w)) if ch > 0 else -1
+            if ch == 0 or w[p] == 0:
+                p = int(self.kf_parent[kf])
+            self.kf_parent[ch] = p
         self.covis[kf, :] = 0
         self.covis[:, kf] = 0
         self.kf_alive[kf] = False
+        self.kf_parent[kf] = -1
         self.culled_log.append(kf)
         self.arrays = _remove_kf_kernel(self.arrays, jnp.asarray(kf, jnp.int32))
 
@@ -550,6 +597,9 @@ class SlamMap:
             [self.kf_frame_id, np.full(K0, -1, np.int64)]
         )
         self.kf_alive = np.concatenate([self.kf_alive, np.zeros(K0, bool)])
+        self.kf_parent = np.concatenate(
+            [self.kf_parent, np.full(K0, -1, np.int64)]
+        )
         cv = np.zeros((self.K, self.K), np.int32)
         cv[:K0, :K0] = self.covis
         self.covis = cv
@@ -597,6 +647,18 @@ class SlamMap:
             lut[np.maximum(self.pt_birth_kf, 0)],
             -1,
         ).astype(np.int32)
+        # spanning tree follows the permutation; a parent is always alive
+        # (reparenting happens at cull time), so lut[parent] >= 0
+        par = np.full_like(self.kf_parent, -1)
+        old_par = self.kf_parent[alive]
+        par[:A] = np.where(old_par >= 0, lut[np.maximum(old_par, 0)], -1)
+        self.kf_parent = par
+        # loop-edge endpoints are cull-protected, so both survive
+        self.loop_edges = [
+            (int(lut[i]), int(lut[j]), T, s)
+            for (i, j, T, s) in self.loop_edges
+            if lut[i] >= 0 and lut[j] >= 0
+        ]
         self.culled_log = []   # stale slot ids are meaningless post-compact
         self.n_kfs = A
         self.version += 1
