@@ -158,3 +158,93 @@ def test_port_torch_mapping_shapes():
     model = Y.Yolact(num_classes=81, backbone_layers=layers)
     out = model.apply(params, jnp.zeros((1, 128, 128, 3)))
     assert out[0].shape[-1] == 4
+
+
+def test_backbone_port_matches_torch_numerically():
+    """Numerical oracle for the weight port: a torch ResNet stage built with
+    the reference's module naming (src/python/backbone.py:60), random
+    weights AND random BN running stats, forwarded in eval mode, must agree
+    with our Flax backbone after port_torch's mapping -- this pins the
+    (out,in,kh,kw)->(kh,kw,in,out) transpose, BN parameter routing, and the
+    conv1/maxpool padding conventions, which the shape-only port test
+    cannot see."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+    from amos_slam_tpu.models.port_torch import _map_backbone
+    from amos_slam_tpu.models.resnet import ResNet
+
+    layers = (1, 1, 1, 1)
+
+    class TBottleneck(tnn.Module):
+        def __init__(self, cin, planes, stride):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, planes, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(
+                planes, planes, 3, stride=stride, padding=1, bias=False
+            )
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(planes * 4)
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, planes * 4, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(planes * 4),
+            )
+
+        def forward(self, x):
+            idt = self.downsample(x)
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = torch.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return torch.relu(y + idt)
+
+    class TBackbone(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+            self.layers = tnn.ModuleList()
+            cin, planes = 64, 64
+            for s, n in enumerate(layers):
+                stage = tnn.ModuleList()
+                for b in range(n):
+                    stride = 2 if (s > 0 and b == 0) else 1
+                    stage.append(TBottleneck(cin, planes, stride))
+                    cin = planes * 4
+                self.layers.append(stage)
+                planes *= 2
+
+        def forward(self, x):
+            y = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+            outs = []
+            for stage in self.layers:
+                for blk in stage:
+                    y = blk(y)
+                outs.append(y)
+            return outs
+
+    torch.manual_seed(0)
+    tb = TBackbone().eval()
+    # randomize BN running stats so the test can't pass with identity BN
+    with torch.no_grad():
+        for m in tb.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.5, 0.5)
+
+    x = np.random.default_rng(1).normal(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        t_outs = [o.numpy() for o in tb(torch.from_numpy(x))]
+
+    sd = {k: v.numpy() for k, v in tb.state_dict().items()}
+    params = {"params": _map_backbone(sd, "", layers)}
+    j_outs = ResNet(layers).apply(
+        params, jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
+    )
+    for t, j in zip(t_outs, j_outs):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(j), (0, 3, 1, 2)), t, atol=2e-4, rtol=1e-3
+        )
