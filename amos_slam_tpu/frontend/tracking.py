@@ -48,6 +48,8 @@ def track_motion_model(
     max_dist: int = 100,
     opt_rounds: int = 2,
     opt_iters: int = 4,
+    pts_w: Optional[jax.Array] = None,
+    has_point: Optional[jax.Array] = None,
 ) -> TrackStepResult:
     """Match last frame's depth-backed keypoints into the current frame by
     projection window, then run motion-only BA.
@@ -56,12 +58,21 @@ def track_motion_model(
     (src/ORBmatcher.cc:1569) + PoseOptimization: rows are last-frame points,
     columns are current keypoints; the 64x48 grid walk becomes a masked
     distance matrix; scale-aware search radius rides the row mask.
+
+    pts_w/has_point: optional (N, 3)/(N,) override of the per-keypoint 3D
+    source. Default (None) backprojects last's depth -- the RGB-D/stereo
+    temporal points of UpdateLastFrame (src/Tracking.cc:1802). Monocular
+    callers pass the positions of the landmarks the last frame matched
+    instead (the reference's mono TrackWithMotionModel matches
+    mLastFrame.mvpMapPoints, which exist without depth).
     """
-    # Last frame's keypoints with valid depth -> world points (UpdateLastFrame
-    # temporal points, src/Tracking.cc:1802).
-    has_depth = last.valid & (last.depth > 0.0)
-    pc_last = backproject(cam, last.xy_un, jnp.maximum(last.depth, 1e-3))
-    pts_w = se3.transform_points(se3.inv_T(last_Tcw), pc_last)
+    if pts_w is None:
+        # Last frame's keypoints with valid depth -> world points
+        has_depth = last.valid & (last.depth > 0.0)
+        pc_last = backproject(cam, last.xy_un, jnp.maximum(last.depth, 1e-3))
+        pts_w = se3.transform_points(se3.inv_T(last_Tcw), pc_last)
+    else:
+        has_depth = has_point & last.valid
 
     # Predicted pixel location in the current frame.
     pc_pred = se3.transform_points(T_pred, pts_w)
@@ -244,6 +255,71 @@ def fused_stereo_step(
 
     mm = track_motion_model(
         pipe.cam, feats, last, last_Tcw, T_pred, mm_radius
+    )
+    ok_mm = mm.num_inliers >= 10
+    T0 = jnp.where(ok_mm, mm.Tcw, last_Tcw)
+    lm = track_local_map(
+        pipe.cam, feats, view, T0,
+        jnp.where(ok_mm, map_radius, map_radius * 3.0),
+    )
+    ok_lm = lm.num_inliers >= min_lm
+    Tcw = jnp.where(ok_lm, lm.Tcw, T0)
+    tracked = ok_lm | ok_mm
+    vel_new = jnp.where(
+        tracked,
+        se3.orthonormalize(Tcw @ se3.inv_T(last_Tcw)),
+        jnp.eye(4),
+    )
+    Tcw = jnp.where(tracked, Tcw, last_Tcw)
+    counts = jnp.stack([mm.num_inliers, lm.num_inliers])
+    return FusedStepResult(
+        feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts,
+        sup=_pack_supervision(counts, lm, feats),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("min_lm",))
+def fused_mono_step(
+    pipe,                      # ORBPipeline (static, hashed by config)
+    image: jax.Array,
+    last: FrameFeatures,
+    last_pid: jax.Array,       # (N,) landmark id per last-frame keypoint (-1)
+    pt_pos: jax.Array,         # (M, 3) global landmark positions
+    pt_alive: jax.Array,       # (M,) bool
+    last_Tcw: jax.Array,
+    velocity: jax.Array,
+    view,                      # slam_map.LocalView
+    mm_radius: jax.Array,
+    map_radius: jax.Array,
+    min_lm: int = 30,
+) -> FusedStepResult:
+    """One-dispatch monocular frame (the mono analogue of fused_frame_step).
+
+    Monocular keypoints carry no depth, so the motion model's 3D comes from
+    the landmarks the LAST frame matched (last_pid from its local-map track)
+    -- exactly the reference's mono TrackWithMotionModel, which projects
+    mLastFrame.mvpMapPoints (src/Tracking.cc:1908). The rest of the program
+    (extraction, local-map tracking, pose/velocity update, packed
+    supervision) is identical, so the host stays on the pipelined
+    supervision path with ONE device read per frame instead of the blocking
+    int() reads of the split path.
+
+    pt_pos/pt_alive are the full map arrays: a capacity growth changes
+    their shape and recompiles this program -- rare (amortized doubling)
+    and cheaper than per-frame gathers on the host.
+    """
+    from ..slam_map.slam_map import track_local_map
+
+    T_pred = se3.orthonormalize(velocity @ last_Tcw)
+    kp, _, _, patches = pipe.detect_keypoints(image)
+    feats = pipe.describe(kp, patches)
+
+    pid = jnp.maximum(last_pid, 0)
+    has_pt = (last_pid >= 0) & pt_alive[pid]
+    pts_w = pt_pos[pid]
+    mm = track_motion_model(
+        pipe.cam, feats, last, last_Tcw, T_pred, mm_radius,
+        pts_w=pts_w, has_point=has_pt,
     )
     ok_mm = mm.num_inliers >= 10
     T0 = jnp.where(ok_mm, mm.Tcw, last_Tcw)

@@ -240,6 +240,10 @@ class System:
         self.prev_depth = None
         self.prev_kp_xy = None
         self.prev_kp_valid = None
+        # mono fast path: last frame's per-keypoint landmark ids (device
+        # array from its local-map track; None until a slow-path frame or
+        # fast-path frame produces one)
+        self._last_pid = None
         self._zero_masks = {}   # (H, W) -> cached device all-false mask
         # auto-reset when tracking is lost soon after initialization with a
         # tiny map (reference src/Tracking.cc:785-793: "Track lost soon
@@ -273,16 +277,22 @@ class System:
         depth: np.ndarray,
         timestamp: float,
         seg_mask: Optional[np.ndarray] = None,
+        rgb: Optional[np.ndarray] = None,
     ):
         """One frame in, camera pose out (reference System::TrackRGBD).
 
         seg_mask: optional (H, W) stage-1 semantic dynamic-object mask (the
         reference's YOLACT person mask; see models/segmenter to produce one).
+        rgb: optional (H, W, 3) color frame; with use_dynamics the SLIC
+        stage then clusters in CIELAB like the reference
+        (src/cluster.cc:88-146) -- chroma-distinct movers stay separable
+        even when luma-matched to their background.
         """
         self._maybe_auto_reset()
         self.frame_id += 1
         g = jnp.asarray(gray)
         d = jnp.asarray(depth)
+        c = jnp.asarray(rgb) if rgb is not None else None
 
         # resolve whatever supervision the reader finished BEFORE deciding
         # this frame's path: keyframes inserted here reach this very
@@ -350,6 +360,7 @@ class System:
                     lk_win=dcfg.lk_win,
                     lk_iters=dcfg.lk_iters,
                     pnp_hypotheses=dcfg.pnp_hypotheses,
+                    cur_rgb=c,
                 )
                 res = fused_frame_step(
                     self.pipeline, g, d, self.last_feats, self.last_Tcw,
@@ -386,7 +397,9 @@ class System:
             jnp.asarray(seg_mask) if seg_mask is not None
             else self._zero_mask(g)
         )
-        feats = self._extract_with_dynamics(g, d, seg, seg_mask is not None)
+        feats = self._extract_with_dynamics(
+            g, d, seg, seg_mask is not None, rgb=c
+        )
 
         if self.state is TrackingState.NOT_INITIALIZED:
             Tcw = self._initialize(feats)
@@ -463,9 +476,48 @@ class System:
     def track_monocular(self, gray: np.ndarray, timestamp: float):
         """Single image in, pose out (reference System::TrackMonocular)."""
         self._maybe_auto_reset()
-        self._flush_pending()
         self.frame_id += 1
         g = jnp.asarray(gray)
+
+        # Pipelined fused fast path, like track_rgbd: the motion model's 3D
+        # comes from the landmarks the last frame matched (_last_pid, a
+        # device array carried frame to frame without any host read).
+        if self.state is TrackingState.OK and self._last_pid is not None:
+            from .frontend.tracking import fused_mono_step
+
+            if self.cfg.deterministic:
+                self._flush_pending()
+            else:
+                for done in self._reader.drain():
+                    self._resolve_step(*done)
+                self._fetcher.drain()
+            if self.state is TrackingState.OK and self._last_pid is not None:
+                tcfg = self.cfg.tracking
+                view = self.map.local_view(self.ref_kf)
+                a = self.map.arrays
+                res = fused_mono_step(
+                    self.pipeline, g, self.last_feats, self._last_pid,
+                    a.pt_pos, a.pt_valid, self.last_Tcw, self.velocity,
+                    view, self._r_mm, self._r_map,
+                    min_lm=tcfg.min_inliers_local_map,
+                )
+                self.last_feats = res.feats
+                self.last_Tcw = res.Tcw
+                self.velocity = res.velocity
+                self._last_pid = res.lm.kp_point_id
+                self.prev_kp_xy = res.feats.kp.xy
+                self.prev_kp_valid = res.feats.kp.valid
+                self.timestamps.append(timestamp)
+                self.poses_cw.append(res.Tcw)
+                self._reader.submit((res, view, self.frame_id))
+                for done in self._reader.drain():
+                    self._resolve_step(*done)
+                self._fetcher.drain()
+                if self.debug_dir is not None:
+                    self._dump_debug(res.feats, g)
+                return res.Tcw
+
+        self._flush_pending()
         kp, _, _, patches = self.pipeline.detect_keypoints(g)
         feats = self.pipeline.describe(kp, patches)
         self.prev_kp_xy, self.prev_kp_valid = kp.xy, kp.valid
@@ -686,7 +738,9 @@ class System:
         self.poses_cw.append(Tcw)
         return Tcw
 
-    def _extract_with_dynamics(self, g, d, seg, has_seg: bool) -> FrameFeatures:
+    def _extract_with_dynamics(
+        self, g, d, seg, has_seg: bool, rgb=None
+    ) -> FrameFeatures:
         """The Amos split pipeline: keypoints -> dynamic mask -> descriptors
         (reference GrabImageRGBD, src/Tracking.cc:297-406)."""
         dcfg = self.cfg.dynamics
@@ -721,6 +775,7 @@ class System:
                 lk_win=dcfg.lk_win,
                 lk_iters=dcfg.lk_iters,
                 pnp_hypotheses=dcfg.pnp_hypotheses,
+                cur_rgb=rgb,
             )
             suppress = dyn.suppress_mask
         elif has_seg:
@@ -740,6 +795,26 @@ class System:
         trajectory.save_kitti(
             path, [np.asarray(T, np.float64) for T in self.poses_cw]
         )
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """Keyframe poses only (SaveKeyFrameTrajectoryTUM,
+        src/System.cc:484): the meaningful export for monocular runs where
+        per-frame scale is arbitrary; keyframe poses carry every loop /
+        global-BA correction."""
+        self._flush_pending()
+        if self.loop is not None:
+            self.loop.flush_gba()
+        m = self.map
+        poses, stamps = [], []
+        kf_poses = np.asarray(m.arrays.kf_pose[: m.n_kfs], np.float64)
+        for k in range(m.n_kfs):
+            if not m.kf_alive[k]:
+                continue
+            fid = int(m.kf_frame_id[k])
+            if 0 <= fid < len(self.timestamps):
+                stamps.append(self.timestamps[fid])
+                poses.append(kf_poses[k])
+        trajectory.save_tum(path, stamps, poses)
 
     def save_map(self, path: str):
         """Persist the full map (the reference's SaveMap TODO,
@@ -777,6 +852,7 @@ class System:
         self.last_kf_frame = -999
         self.last_kf_inliers = 0
         self._mono_ref = None
+        self._last_pid = None
 
     def global_refine(self):
         """Full-map refinement (reference global BA): joint camera+structure
@@ -995,11 +1071,14 @@ class System:
         if n_lm >= tcfg.min_inliers_local_map:
             Tcw = lm.Tcw
             self.state = TrackingState.OK
+            self._last_pid = lm.kp_point_id   # device array, no read
             self.map.bump_stats(lm.visible_ids, lm.found_ids)
         elif n_mm >= 10 and mm_Tcw is not None:
             Tcw = mm_Tcw
             kp_point = np.full(self.cfg.orb.max_kpts, -1, np.int64)
             self.state = TrackingState.OK
+            self._last_pid = lm.kp_point_id   # below-gate matches still seed
+                                              # the next mono motion model
         else:
             # LOST: attempt BoW relocalization (Tracking::Relocalization,
             # src/Tracking.cc:2591); otherwise hold the pose.
@@ -1014,6 +1093,7 @@ class System:
                 if int(lm2.num_inliers) >= tcfg.min_inliers_local_map:
                     self.state = TrackingState.OK
                     self.velocity = jnp.eye(4)
+                    self._last_pid = lm2.kp_point_id
                     self.stats.append(
                         {"matches": n_mm, "inliers": int(lm2.num_inliers),
                          "kf": False, "reloc": True}
@@ -1021,6 +1101,7 @@ class System:
                     return lm2.Tcw
             self._on_lost()
             self.velocity = jnp.eye(4)
+            self._last_pid = None
             self.stats.append({"matches": n_mm, "inliers": 0, "kf": False})
             return self.last_Tcw
 
