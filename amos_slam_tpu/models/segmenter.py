@@ -39,7 +39,7 @@ class Segmenter:
         person_classes: Tuple[int, ...] = (0,),
         score_th: float = 0.15,
         top_k: int = 15,
-        dtype=jnp.float32,
+        compute_dtype=jnp.bfloat16,
     ):
         self.model = Yolact(num_classes=num_classes)
         self.score_th = score_th
@@ -48,7 +48,7 @@ class Segmenter:
         self.priors = jnp.asarray(make_priors())
         if params is None:
             key = key if key is not None else jax.random.PRNGKey(0)
-            dummy = jnp.zeros((1, IMG_SIZE, IMG_SIZE, 3), dtype)
+            dummy = jnp.zeros((1, IMG_SIZE, IMG_SIZE, 3), jnp.float32)
             params = self.model.init(key, dummy)
         self.params = params
 
@@ -58,12 +58,29 @@ class Segmenter:
 
         @jax.jit
         def _mask_fn(params, rgb):
-            """rgb: (H, W, 3) float32 [0,255] RGB -> (H, W) bool mask."""
+            """rgb: (H, W, 3) RGB (any dtype, [0,255]) -> (H, W) bool mask.
+
+            The whole net runs in ``compute_dtype`` (default bfloat16: the
+            convs then ride the MXU at twice the f32 rate and half the HBM
+            traffic); params are cast inside the program (a free fused
+            element-wise op), detection/mask assembly run in float32. The
+            input cast also lives here -- an eager cast outside jit is a
+            per-frame dispatch, which on the remote-tunnel link costs more
+            than the entire backbone."""
+            rgb = rgb.astype(jnp.float32)
             H, W = rgb.shape[0], rgb.shape[1]
             img = jax.image.resize(rgb, (IMG_SIZE, IMG_SIZE, 3), "bilinear")
             bgr = img[..., ::-1]
-            x = ((bgr - means) / std)[None]
-            loc, conf, coef, proto = self.model.apply(params, x)
+            x = ((bgr - means) / std)[None].astype(compute_dtype)
+            p_c = jax.tree.map(
+                lambda p: p.astype(compute_dtype)
+                if p.dtype == jnp.float32 else p,
+                params,
+            )
+            loc, conf, coef, proto = self.model.apply(p_c, x)
+            loc, conf, coef, proto = (
+                t.astype(jnp.float32) for t in (loc, conf, coef, proto)
+            )
             det = detect(
                 loc[0], conf[0], coef[0], self.priors,
                 top_k=self.top_k, conf_th=self.score_th,
@@ -81,4 +98,4 @@ class Segmenter:
 
     def person_mask(self, rgb) -> jax.Array:
         """(H, W, 3) RGB image (uint8 or float [0,255]) -> (H, W) bool."""
-        return self._mask_fn(self.params, jnp.asarray(rgb, jnp.float32))
+        return self._mask_fn(self.params, jnp.asarray(rgb))

@@ -162,17 +162,27 @@ def solve_local_ba(
         # camera blocks
         Hcc = jnp.einsum("kodi,kodj->kij", Jcw, Jc, precision=_P)   # (K,6,6)
         bc = jnp.einsum("kodi,kod->ki", Jcw, r, precision=_P)       # (K,6)
-        # landmark blocks via segment-sum over point ids
+        # landmark blocks (Hll 9 + bl 3 + obs count 1) via ONE fused
+        # segment-sum over point ids (three separate scatters cost 3x the
+        # TPU scatter latency for the same bytes)
         pidx = jnp.clip(prob.obs_point, 0, M - 1)
         flat_pidx = pidx.reshape(-1)
         Hll_blocks = jnp.einsum("kodi,kodj->koij", Jpw, Jp, precision=_P)
         bl_blocks = jnp.einsum("kodi,kod->koi", Jpw, r, precision=_P)
-        Hll = jax.ops.segment_sum(
-            Hll_blocks.reshape(-1, 3, 3), flat_pidx, num_segments=M
+        feat = jnp.concatenate(
+            [
+                Hll_blocks.reshape(K, O, 9),
+                bl_blocks,
+                (w > 0).astype(r.dtype)[..., None],
+            ],
+            axis=-1,
+        )                                                           # (K,O,13)
+        agg = jax.ops.segment_sum(
+            feat.reshape(-1, 13), flat_pidx, num_segments=M
         )
-        bl = jax.ops.segment_sum(
-            bl_blocks.reshape(-1, 3), flat_pidx, num_segments=M
-        )
+        Hll = agg[:, :9].reshape(M, 3, 3)
+        bl = agg[:, 9:12]
+        has_obs = agg[:, 12] > 0
         # camera-landmark coupling, dense over (K, M): one segment_sum per cam
         Hcl_blocks = jnp.einsum("kodi,kodj->koij", Jcw, Jp, precision=_P)
         Hcl = jax.vmap(
@@ -184,30 +194,37 @@ def solve_local_ba(
         Hll_d = Hll + jnp.eye(3) * (lam * jnp.maximum(dl, 1e-9) + 1e-9)[..., None, :]
         Hll_inv = inv3x3(Hll_d)                                     # (M,3,3)
 
-        # Schur complement: S = Hcc_diag - W Hll^-1 W^T  (blocked einsum)
+        # Schur complement S = Hcc_diag - W Hll^-1 W^T, built DIRECTLY in
+        # dense (6K, 6K) form as one MXU matmul (6K, 3M) @ (3M, 6K): the 4D
+        # block einsum lowered to layout-hostile loops on TPU.
+        # S[k*6+i, l*6+o] = sum_{m,j} W[k,m,i,j] Hcl[l,m,o,j]
         W = jnp.einsum("kmij,mjl->kmil", Hcl, Hll_inv, precision=_P)  # (K,M,6,3)
-        S_off = -jnp.einsum("kmij,lmoj->kloi", W, Hcl, precision=_P)
-        # ^ (K,L,6,6) with axes (k,l,row,col): note einsum output order kloi
-        S_off = jnp.transpose(S_off, (0, 1, 3, 2))
+        A = W.transpose(0, 2, 1, 3).reshape(6 * K, 3 * M)
+        B = Hcl.transpose(0, 2, 1, 3).reshape(6 * K, 3 * M)
+        S_dense = -jnp.matmul(A, B.T, precision=_P)                  # (6K,6K)
         dc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
         Hcc_d = Hcc + jnp.eye(6) * (lam * jnp.maximum(dc, 1e-9) + 1e-9)[..., None, :]
-        S = S_off.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
         # Normal equations are H dx = -g with g = J^T W r (r = obs - proj,
         # J = dr/dx): reduced rhs = -(bc - W bl).
         rhs_c = jnp.einsum("kmij,mj->ki", W, bl, precision=_P) - bc
 
-        # fixed cameras: identity rows/cols, zero rhs
-        free = (prob.kf_free & prob.kf_valid).astype(S.dtype)
-        fmask = free[:, None, None, None] * free[None, :, None, None]
-        S = S * fmask
-        S = S.at[jnp.arange(K), jnp.arange(K)].add(
-            jnp.eye(6) * (1.0 - free)[:, None, None]
-        )
-        rhs_c = rhs_c * free[:, None]
+        # fixed cameras: identity rows/cols, zero rhs; damped Hcc on the
+        # 6x6 block diagonal
+        free = (prob.kf_free & prob.kf_valid).astype(S_dense.dtype)
+        kk = jnp.arange(K)
+        S_dense = (
+            S_dense.reshape(K, 6, K, 6).at[kk, :, kk, :].add(Hcc_d)
+        ).reshape(6 * K, 6 * K)
+        freed = jnp.repeat(free, 6)
+        S_dense = S_dense * (freed[:, None] * freed[None, :])
+        S_dense = (
+            S_dense.reshape(K, 6, K, 6)
+            .at[kk, :, kk, :]
+            .add(jnp.eye(6) * (1.0 - free)[:, None, None])
+        ).reshape(6 * K, 6 * K)
+        rhs = (rhs_c * free[:, None]).reshape(6 * K)
 
         # dense solve of the reduced camera system
-        S_dense = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
-        rhs = rhs_c.reshape(6 * K)
         L, low = jax.scipy.linalg.cho_factor(S_dense, lower=True)
         dxc = jax.scipy.linalg.cho_solve((L, low), rhs)
         dxc = jnp.where(jnp.isfinite(dxc), dxc, 0.0).reshape(K, 6)
@@ -217,9 +234,6 @@ def solve_local_ba(
         dxl = -jnp.einsum("mij,mj->mi", Hll_inv, bl + WTdx, precision=_P)
         dxl = jnp.where(jnp.isfinite(dxl), dxl, 0.0)
         # points with no observations must not move
-        has_obs = jax.ops.segment_sum(
-            (w.reshape(-1) > 0).astype(jnp.float32), flat_pidx, num_segments=M
-        ) > 0
         dxl = dxl * (has_obs & prob.point_valid)[:, None]
 
         pose_new = se3.se3_exp(dxc) @ pose
