@@ -105,3 +105,40 @@ def test_rgbd_depth_channels(pipeline, texture, rng):
     np.testing.assert_allclose(
         ur[has], xy[has][:, 0] - 40.0 / d[has], atol=1e-3
     )
+
+
+def test_patch_descriptor_parity_bounds_bit_flips(texture):
+    """descriptors_from_patches (bf16 MXU path, quantized rotation) vs
+    compute_descriptors (float32 exact-rotation oracle): the docstring
+    promises a bounded bit-flip rate between the two. At exact bin-center
+    angles the only divergences are bf16 intensity quantization near
+    comparator ties; at arbitrary angles the +-5.6 deg rotation
+    quantization adds a few more. Both must stay far under the matcher's
+    accept threshold (TH_LOW=50 of 256)."""
+    import jax
+    from amos_slam_tpu.ops import orb_descriptor as od
+
+    pyr = jnp.asarray(texture)[None]          # single-level "pyramid"
+    rng = np.random.default_rng(7)
+    N = 256
+    yx = rng.uniform(40, 400, (N, 2)).round().astype(np.float32)
+    level = jnp.zeros(N, jnp.int32)
+    pattern_np = od.make_brief_pattern(0)
+    pattern = jnp.asarray(pattern_np)
+    M = od.make_bin_sampling_matrix(pattern_np)
+
+    step = 2 * np.pi / od.N_ROT_BINS
+    for angles, max_flip in [
+        # exact bin centers: isolates the bf16 quantization
+        (-np.pi + step * rng.integers(0, od.N_ROT_BINS, N), 8.0),
+        # arbitrary angles: adds rotation quantization
+        (rng.uniform(-np.pi, np.pi, N), 40.0),
+    ]:
+        ang = jnp.asarray(angles.astype(np.float32))
+        d_exact = np.asarray(
+            od.compute_descriptors(pyr, level, jnp.asarray(yx), ang, pattern)
+        )
+        patches = od.gather_patches(pyr, level, jnp.asarray(yx))
+        d_fast = np.asarray(od.descriptors_from_patches(patches, ang, M))
+        flips = np.abs(d_exact - d_fast).sum(axis=1)
+        assert flips.mean() < max_flip, (flips.mean(), max_flip)
