@@ -50,8 +50,14 @@ def dump_map(slam, out_prefix: str):
     trajectory.save_tum(out_prefix + "_keyframes.txt", ts, list(poses))
 
 
-def plot_topdown(slam, gt_poses=None, path: str = "map_topdown.png"):
-    """Top-down (x-z) view of trajectory + landmarks; needs matplotlib."""
+def plot_topdown(
+    slam, gt_poses=None, path: str = "map_topdown.png", draw_graph: bool = True
+):
+    """Top-down (x-z) view of trajectory + landmarks; needs matplotlib.
+
+    With draw_graph, also renders the MapDrawer::DrawKeyFrames content
+    (src/MapDrawer.cc:106-232): keyframe positions, covisibility edges
+    (weight >= threshold), spanning-tree edges, and loop edges."""
     try:
         import matplotlib
 
@@ -67,6 +73,38 @@ def plot_topdown(slam, gt_poses=None, path: str = "map_topdown.png"):
     if len(alive):
         pts = np.asarray(m.arrays.pt_pos)[alive]
         ax.scatter(pts[:, 0], pts[:, 2], s=0.5, c="#888888", label="landmarks")
+    if draw_graph and m.n_kfs > 0:
+        K = m.n_kfs
+        kf_alive = m.kf_alive[:K]
+        centers = positions_from_cw(np.asarray(m.arrays.kf_pose[:K]))
+
+        def _edges(pairs, color, lw, label):
+            first = True
+            for i, j in pairs:
+                if not (kf_alive[i] and kf_alive[j]):
+                    continue
+                ax.plot(
+                    [centers[i, 0], centers[j, 0]],
+                    [centers[i, 2], centers[j, 2]],
+                    "-", c=color, lw=lw, alpha=0.6,
+                    label=label if first else None,
+                )
+                first = False
+
+        th = m.cfg.map.covis_weight_th
+        ii, jj = np.nonzero(np.triu(m.covis[:K, :K] >= th, k=1))
+        _edges(zip(ii.tolist(), jj.tolist()), "#9ecae1", 0.5, "covisibility")
+        par = m.kf_parent[:K]
+        tree = [(k, int(par[k])) for k in range(K) if par[k] >= 0]
+        _edges(tree, "#2ca02c", 0.9, "spanning tree")
+        _edges(
+            [(i, j) for i, j, _, _ in m.loop_edges if i < K and j < K],
+            "#d62728", 1.6, "loop edges",
+        )
+        ax.scatter(
+            centers[kf_alive, 0], centers[kf_alive, 2], s=12.0,
+            c="#08519c", marker="s", label="keyframes", zorder=3,
+        )
     est = positions_from_cw(np.asarray(slam.poses_cw))
     ax.plot(est[:, 0], est[:, 2], "-", c="#1f77b4", lw=1.5, label="estimate")
     if gt_poses is not None:
