@@ -40,15 +40,22 @@ class Segmenter:
         score_th: float = 0.15,
         top_k: int = 15,
         compute_dtype=jnp.bfloat16,
+        img_size: int = IMG_SIZE,
     ):
+        """img_size: network input resolution. 550 is the reference's
+        yolact_base; 400 matches its yolact_im400 config
+        (src/python/config.py) at ~2x the stage-1 throughput -- priors,
+        boxes, and masks are all resolution-normalized, so the SAME ported
+        weights serve either size (as in the reference)."""
         self.model = Yolact(num_classes=num_classes)
         self.score_th = score_th
         self.top_k = top_k
         self.person_classes = person_classes
-        self.priors = jnp.asarray(make_priors())
+        self.img_size = img_size
+        self.priors = jnp.asarray(make_priors(img_size))
         if params is None:
             key = key if key is not None else jax.random.PRNGKey(0)
-            dummy = jnp.zeros((1, IMG_SIZE, IMG_SIZE, 3), jnp.float32)
+            dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
             params = self.model.init(key, dummy)
         self.params = params
 
@@ -69,7 +76,7 @@ class Segmenter:
             than the entire backbone."""
             rgb = rgb.astype(jnp.float32)
             H, W = rgb.shape[0], rgb.shape[1]
-            img = jax.image.resize(rgb, (IMG_SIZE, IMG_SIZE, 3), "bilinear")
+            img = jax.image.resize(rgb, (img_size, img_size, 3), "bilinear")
             bgr = img[..., ::-1]
             x = ((bgr - means) / std)[None].astype(compute_dtype)
             p_c = jax.tree.map(
