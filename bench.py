@@ -99,10 +99,15 @@ def main():
         solves = 0
         t0 = time.perf_counter()
         while time.perf_counter() - t0 < 3.0:
-            m.version += 1          # defeat any caching
-            m.run_local_ba(m.n_kfs - 1)
+            # pipeline a batch of solves (each chains on the previous map
+            # state through donation) and sync ONCE: throughput, with the
+            # tunnel round trip amortized instead of paid per solve --
+            # exactly how the live system consumes BA (async, no sync)
+            for _ in range(8):
+                m.version += 1      # defeat any caching
+                m.run_local_ba(m.n_kfs - 1)
+                solves += 1
             jax.block_until_ready(m.arrays.kf_pose)
-            solves += 1
         ba_per_sec = solves / (time.perf_counter() - t0)
     else:
         ba_per_sec = float("nan")
