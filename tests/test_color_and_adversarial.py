@@ -166,10 +166,12 @@ def test_two_movers_opposite_directions():
         planes.append(Plane(
             2, 2.6, (xa, xa + 0.6, -1.0, 0.4),
             _block_texture(rng, block=6), tex_scale=90.0,
+            tex_anchor=(xa, 0.0),   # texture rides the mover
         ))
         planes.append(Plane(
             2, 3.4, (xb, xb + 0.7, -0.3, 1.1),
             _block_texture(rng, block=6), tex_scale=90.0,
+            tex_anchor=(xb, 0.0),
         ))
         g, d = synthetic.render(planes, poses[i])
         frames.append((g, d))

@@ -100,6 +100,7 @@ def test_two_stage_on_dominant_mover():
             2, 1.6, (x0, x0 + 1.2, -1.2, 1.2),
             _block_texture(np.random.default_rng(99), block=6, contrast=200.0),
             tex_scale=90.0,
+            tex_anchor=(x0, 0.0),   # texture rides the mover: real motion
         ))
         g, d, ids = synthetic.render(planes, poses[i], return_ids=True)
         frames.append((g, d, ids == len(planes) - 1))
