@@ -54,6 +54,8 @@ class DynamicsResult(NamedTuple):
     flow_valid: jax.Array       # (N,) bool
     T_used: jax.Array           # (4, 4) arbitration winner
     used_pnp: jax.Array         # () bool
+    gate_state: jax.Array       # (3,) EMA noise levels [rpe, epi, flow] --
+                                # feed back as next frame's ``gate_state``
 
 
 def _masked_quantile(x: jax.Array, mask: jax.Array, q: float) -> jax.Array:
@@ -70,12 +72,60 @@ def _masked_median(x: jax.Array, mask: jax.Array) -> jax.Array:
     return _masked_quantile(x, mask, 0.5)
 
 
+def _cluster_median(
+    vals: jax.Array, member: jax.Array, pt_cluster: jax.Array, n_clusters: int
+) -> jax.Array:
+    """(C,) median of vals over each cluster's member tracks (0 if none).
+
+    A per-cluster MEDIAN, not mean: on weak texture a handful of aliased
+    LK tracks put 30+ px errors inside genuinely static clusters, and a
+    mean-based statistic drags those clusters toward the dynamic gates
+    (measured: static cluster means of 8-17 px vs track medians < 1 px on
+    the weak-room suite)."""
+    nanned = jnp.where(member, vals, jnp.nan)
+
+    def med(c):
+        return jnp.nanmedian(jnp.where(pt_cluster == c, nanned, jnp.nan))
+
+    out = jax.vmap(med)(jnp.arange(n_clusters))
+    return jnp.nan_to_num(out, nan=0.0)
+
+
 def _reproj_err(cam: Camera, T: jax.Array, pts_w: jax.Array, uv: jax.Array):
     pc = se3.transform_points(T, pts_w)
     z = jnp.maximum(pc[..., 2], 1e-6)
     u = cam.fx * pc[..., 0] / z + cam.cx
     v = cam.fy * pc[..., 1] / z + cam.cy
     return jnp.sqrt((u - uv[..., 0]) ** 2 + (v - uv[..., 1]) ** 2), pc[..., 2]
+
+
+def _reproj_residual(cam: Camera, T: jax.Array, pts_w, uv) -> jax.Array:
+    """(N, 2) SIGNED reprojection residual (projection - observation)."""
+    pc = se3.transform_points(T, pts_w)
+    z = jnp.maximum(pc[..., 2], 1e-6)
+    u = cam.fx * pc[..., 0] / z + cam.cx
+    v = cam.fy * pc[..., 1] / z + cam.cy
+    return jnp.stack([u - uv[..., 0], v - uv[..., 1]], axis=-1)
+
+
+def _coherent_mag(
+    res_vec: jax.Array, member: jax.Array, pt_cluster: jax.Array,
+    n_clusters: int,
+) -> jax.Array:
+    """(C,) norm of the per-cluster MEDIAN residual VECTOR.
+
+    The discriminator between a real mover and weak-texture LK aliasing:
+    a rigid mover displaces all its tracks COHERENTLY, so the component
+    medians preserve the full magnitude; aliased tracks jump in random
+    lattice directions, so their signed components cancel under the median
+    (measured on the weak-room suite: aliased static clusters carry
+    median-of-|r| of 8-15 px but coherent magnitude < 1 px, while the
+    mover keeps ~both at 23+ px)."""
+    comps = [
+        _cluster_median(res_vec[..., c], member, pt_cluster, n_clusters)
+        for c in range(res_vec.shape[-1])
+    ]
+    return jnp.sqrt(sum(c * c for c in comps))
 
 
 @functools.partial(
@@ -126,6 +176,11 @@ def compute_dynamics(
                                 # grayscale -- chroma-distinct surfaces then
                                 # get their own superpixels even when
                                 # luma-matched to their background
+    gate_state: Optional[jax.Array] = None,  # (3,) EMA noise levels from the
+                                # PREVIOUS frame's result (see step 6). None
+                                # (first frame / after reset): gates start
+                                # at the absolute reference thresholds and
+                                # the EMA warms up from measurements.
 ) -> DynamicsResult:
     H, W = cur_gray.shape
     N = flow_pts.shape[0]
@@ -161,20 +216,72 @@ def compute_dynamics(
 
     pnp = ransac_pnp(cam, pts_w, flow.pts1, has3d, k2, n_hyp=pnp_hypotheses)
     err_pred, _ = _reproj_err(cam, T_pred, pts_w, flow.pts1)
-    n_pred = jnp.sum((err_pred < 2.0) & has3d)
-    # Plausibility gate on the PnP winner: when a textured mover dominates
-    # the flow tracks, PnP-RANSAC locks onto the MOVER's consensus motion;
-    # arbitrating by raw inlier count (the reference rule,
-    # src/Tracking.cc:1023-1131) then inverts the whole rejection -- static
-    # clusters get high RPE under the mover pose and are suppressed. A
-    # mover-consensus pose implies an implausible velocity jump vs the
-    # constant-velocity prediction, so bound the PnP-vs-prediction
-    # discrepancy (rotation and translation per frame) before trusting it.
+
+    # 2b. depth clusters on the current frame (moved ahead of the pose
+    # arbitration, which keys on them; SLIC depends only on the image/depth,
+    # not the pose). slic_downsample=1 (full res) is the default: it is
+    # both the mask-level-validated setting (ds=2 shifts the adaptive gates
+    # enough to cost mover recall on the synthetic suites) and, measured on
+    # v5e round 2, FASTER -- the strided subsample breaks XLA's preferred
+    # layout and costs more than the 4x map-traffic saving. ds=2 remains
+    # available for very large frames. The subsample is strided (NOT
+    # pooling): depth pooling mixes surfaces at object boundaries, which
+    # smears the depth clusters the whole stage keys on.
+    ds = slic_downsample
+    Hh, Wh = H // ds, W // ds
+    if cur_rgb is not None:
+        from ..ops.slic import rgb_to_lab
+
+        # Lab channels span ~[0,100]/[-100,100] vs gray's [0,255]: rescale
+        # so the configured compactness keeps the same spatial/appearance
+        # balance in both modes
+        feat_img = rgb_to_lab(cur_rgb)[:: ds, :: ds][:Hh, :Wh] * 2.55
+    else:
+        feat_img = cur_gray[:: ds, :: ds][:Hh, :Wh]
+    depth_h = cur_depth[:: ds, :: ds][:Hh, :Wh]
+    cl = slic_kmeans(
+        feat_img, depth_h,
+        cell=max(slic_cell // ds, 4) if ds > 1 else slic_cell,
+        compactness=slic_compactness, slic_iters=slic_iters, k=n_clusters,
+    )
+    x1i = jnp.clip(jnp.round(flow.pts1[:, 0]).astype(jnp.int32), 0, W - 1)
+    y1i = jnp.clip(jnp.round(flow.pts1[:, 1]).astype(jnp.int32), 0, H - 1)
+    pt_cluster = cl.pixel_cluster[
+        jnp.clip(y1i // ds, 0, Hh - 1), jnp.clip(x1i // ds, 0, Wh - 1)
+    ]
+
+    # Arbitration: PnP is a RESCUE for a broken prediction, never a
+    # competitor to a healthy one. The reference arbitrates PnP vs motion
+    # model by raw inlier count every frame (src/Tracking.cc:1023-1131),
+    # which inverts when a textured mover dominates the flow tracks:
+    # PnP-RANSAC locks onto the MOVER's consensus, wins the count, and the
+    # whole rejection flips (static suppressed / mover kept -> the map
+    # contaminates and the tracker rides the mover). Cluster-coverage
+    # arbitration fails the same way once the position+depth k-means splits
+    # a large mover over more clusters than the static scene keeps
+    # (measured: 9 of 15 on the dominant-mover suite). But this function
+    # only ever runs with a live tracker behind it -- the pose chain that
+    # produced T_pred is re-optimized against the MAP every frame -- so the
+    # prediction is trustworthy precisely when this stage is running, and
+    # PnP fires only when the prediction's support has collapsed
+    # (acceleration spike), under the velocity-jump plausibility bound.
+    err_pnp, _ = _reproj_err(cam, pnp.Tcw, pts_w, flow.pts1)
+
+    def _support(err):
+        ok = ((err < 2.0) & has3d).astype(jnp.float32)
+        per = jax.ops.segment_sum(ok, pt_cluster, num_segments=n_clusters)
+        return jnp.sum(per >= 2.0), jnp.sum(ok)
+
+    sup_pred, n_pred = _support(err_pred)
+    sup_pnp, n_pnp = _support(err_pnp)
     rel = pnp.Tcw @ se3.inv_T(T_pred)
     cos_ang = 0.5 * (jnp.trace(rel[:3, :3]) - 1.0)
     rot_ok = cos_ang > jnp.cos(pnp_gate_rot)
     trans_ok = jnp.linalg.norm(rel[:3, 3]) < pnp_gate_trans
-    use_pnp = pnp.ok & (pnp.num_inliers > n_pred) & rot_ok & trans_ok
+    pred_broken = (sup_pred < 4) & (n_pred < 15)
+    use_pnp = pnp.ok & rot_ok & trans_ok & pred_broken & (
+        (sup_pnp > sup_pred) | ((sup_pnp == sup_pred) & (n_pnp > n_pred))
+    )
     T_used = jnp.where(use_pnp, pnp.Tcw, T_pred)
 
     # 3. epipolar residuals under F DERIVED FROM THE WINNING POSE. The
@@ -215,8 +322,6 @@ def compute_dynamics(
     rpe = jnp.where(has3d, rpe, 0.0)
 
     # 5. 3D scene flow: current-depth backprojection vs previous-frame point
-    x1i = jnp.clip(jnp.round(flow.pts1[:, 0]).astype(jnp.int32), 0, W - 1)
-    y1i = jnp.clip(jnp.round(flow.pts1[:, 1]).astype(jnp.int32), 0, H - 1)
     d1 = cur_depth[y1i, x1i]
     pc1 = backproject(cam, flow.pts1, jnp.maximum(d1, 1e-3))
     pts_w1 = se3.transform_points(se3.inv_T(T_used), pc1)
@@ -233,55 +338,36 @@ def compute_dynamics(
         jnp.abs(d1 - z_pred) < 0.3 * jnp.maximum(z_pred, 1e-3)
     )
 
-    # 6. depth clusters on the current frame. slic_downsample=1 (full res)
-    # is the default: it is both the mask-level-validated setting (ds=2
-    # shifts the adaptive gates enough to cost mover recall on the
-    # synthetic suites) and, measured on v5e round 2, FASTER -- the strided
-    # subsample breaks XLA's preferred layout and costs more than the 4x
-    # map-traffic saving. ds=2 remains available for very large frames.
-    ds = slic_downsample
-    Hh, Wh = H // ds, W // ds
-    # strided subsample (NOT pooling): depth pooling mixes surfaces at
-    # object boundaries, which smears the depth clusters the whole stage
-    # keys on
-    if cur_rgb is not None:
-        from ..ops.slic import rgb_to_lab
-
-        # Lab channels span ~[0,100]/[-100,100] vs gray's [0,255]: rescale
-        # so the configured compactness keeps the same spatial/appearance
-        # balance in both modes
-        feat_img = rgb_to_lab(cur_rgb)[:: ds, :: ds][:Hh, :Wh] * 2.55
-    else:
-        feat_img = cur_gray[:: ds, :: ds][:Hh, :Wh]
-    depth_h = cur_depth[:: ds, :: ds][:Hh, :Wh]
-    cl = slic_kmeans(
-        feat_img, depth_h,
-        cell=max(slic_cell // ds, 4) if ds > 1 else slic_cell,
-        compactness=slic_compactness, slic_iters=slic_iters, k=n_clusters,
-    )
-
-    # 7. per-cluster votes + mean RPE (CalDyna's rmVector rule), with the
-    # adaptive gates computed over CLUSTER-mean statistics
-    pt_cluster = cl.pixel_cluster[
-        jnp.clip(y1i // ds, 0, Hh - 1), jnp.clip(x1i // ds, 0, Wh - 1)
-    ]
+    # 6. per-cluster votes + robust coherent-displacement statistics
+    # (CalDyna's rmVector rule) over the step-2b clusters. Three robustness
+    # layers, each measured necessary on the dominant-mover suites:
+    #   * WITHIN a cluster: the norm of the MEDIAN residual VECTOR (see
+    #     _coherent_mag) -- robust both to a few bad tracks and to
+    #     weak-texture LK aliasing, whose incoherent jumps cancel;
+    #   * ACROSS clusters the naive scene level (median of cluster stats)
+    #     fails -- the position+depth k-means splits a large mover over
+    #     many clusters (measured: 9 of 15), so the gates would key on the
+    #     MOVER's error level and blow past it;
+    #   * so the level lives ACROSS TIME: an EMA carried frame to frame
+    #     (gate_state), measured only from clusters the CURRENT gate calls
+    #     static -- a mover that suddenly dominates tracks and clusters
+    #     cannot hijack a level learned before it appeared, while slow pose-
+    #     noise drift (the reason the gates adapt at all) still tracks. If
+    #     every cluster trips the gate (violent shake), the measurement
+    #     falls back to all clusters: the whole scene cannot be dynamic.
     w3 = has3d.astype(jnp.float32)
     wt = good_track.astype(jnp.float32)
-    rpe_sum = jax.ops.segment_sum(rpe * w3, pt_cluster, num_segments=n_clusters)
     rpe_cnt = jax.ops.segment_sum(w3, pt_cluster, num_segments=n_clusters)
-    mean_rpe = rpe_sum / jnp.maximum(rpe_cnt, 1.0)
-    epi_sum = jax.ops.segment_sum(
-        jnp.where(good_track, epi_dist, 0.0), pt_cluster,
-        num_segments=n_clusters,
-    )
     epi_cnt = jax.ops.segment_sum(wt, pt_cluster, num_segments=n_clusters)
-    mean_epi = epi_sum / jnp.maximum(epi_cnt, 1.0)
+    r_vec = _reproj_residual(cam, T_used, pts_w, flow.pts1)
+    mag_rpe = _coherent_mag(r_vec, has3d, pt_cluster, n_clusters)
+    med_epi = _cluster_median(epi_dist, good_track, pt_cluster, n_clusters)
 
+    if gate_state is None:
+        gate_state = jnp.zeros(3, jnp.float32)
     cl_ok = rpe_cnt >= 2
-    rpe_med = _masked_median(mean_rpe, cl_ok)
-    rpe_gate = jnp.maximum(mean_rpe_th, 2.5 * rpe_med)
-    epi_med = _masked_median(mean_epi, epi_cnt >= 2)
-    epi_gate = jnp.maximum(epi_outlier_th, 3.0 * epi_med)
+    rpe_gate = jnp.maximum(mean_rpe_th, 2.5 * gate_state[0])
+    epi_gate = jnp.maximum(epi_outlier_th, 3.0 * gate_state[1])
 
     epi_out = (epi_dist > epi_gate) & good_track
     epi_vote = epi_out & has3d & depth_consistent
@@ -298,24 +384,43 @@ def compute_dynamics(
     # signal (vFlow_3d, src/Tracking.cc:1149-1184) but only displays it; we
     # let it flag clusters the epipolar vote cannot see, with the same
     # adaptive cluster-median normalization (flow3d_th in meters/frame).
-    wf = (has3d & (d1 > 0) & depth_consistent).astype(jnp.float32)
-    flow_sum = jax.ops.segment_sum(
-        flow3d * wf, pt_cluster, num_segments=n_clusters
+    wf_m = has3d & (d1 > 0) & depth_consistent
+    flow_cnt = jax.ops.segment_sum(
+        wf_m.astype(jnp.float32), pt_cluster, num_segments=n_clusters
     )
-    flow_cnt = jax.ops.segment_sum(wf, pt_cluster, num_segments=n_clusters)
-    mean_flow = flow_sum / jnp.maximum(flow_cnt, 1.0)
-    flow_med = _masked_median(mean_flow, flow_cnt >= 2)
-    flow_gate = jnp.maximum(flow3d_th, 3.0 * flow_med)
-    # conjunction with the RPE gate keeps this conservative: on the
-    # periodic synthetic textures LK aliasing can hand whole static
-    # clusters coherent phantom flow, and RPE is the cross-check
-    dyn_flow = (mean_flow >= flow_gate) & (flow_cnt >= 2) & (
-        mean_rpe >= rpe_gate
+    mag_flow = _coherent_mag(pts_w1 - pts_w, wf_m, pt_cluster, n_clusters)
+    flow_gate = jnp.maximum(flow3d_th, 3.0 * gate_state[2])
+    # conjunction with the RPE gate keeps this conservative: the coherent
+    # reprojection magnitude is the cross-check against depth noise
+    dyn_flow = (mag_flow >= flow_gate) & (flow_cnt >= 2) & (
+        mag_rpe >= rpe_gate
     )
 
     dynamic_cluster = (
-        (votes > 0) & (mean_rpe >= rpe_gate) & (rpe_cnt >= 2)
+        (votes > 0) & (mag_rpe >= rpe_gate) & (rpe_cnt >= 2)
     ) | dyn_flow
+
+    # EMA update of the gate levels from static-classified clusters (see
+    # the step-6 rationale); fall back to all measurable clusters when the
+    # gate tripped everywhere.
+    def _lvl(med, cnt_ok, dyn):
+        static_cl = cnt_ok & ~dyn
+        has_static = jnp.any(static_cl)
+        m = jnp.where(
+            has_static,
+            _masked_quantile(med, static_cl, 0.5),
+            _masked_quantile(med, cnt_ok, 0.3),
+        )
+        return jnp.where(jnp.any(cnt_ok), m, jnp.nan)
+
+    meas = jnp.stack([
+        _lvl(mag_rpe, cl_ok, dynamic_cluster),
+        _lvl(med_epi, epi_cnt >= 2, dynamic_cluster),
+        _lvl(mag_flow, flow_cnt >= 2, dynamic_cluster),
+    ])
+    gate_new = jnp.where(
+        jnp.isnan(meas), gate_state, 0.8 * gate_state + 0.2 * meas
+    )
 
     # 8. final suppression mask. The seg dilation only exists when a
     # stage-1 mask is supplied (static flag -> the whole dilation chain
@@ -350,4 +455,5 @@ def compute_dynamics(
         flow_valid=flow.valid,
         T_used=T_used,
         used_pnp=use_pnp,
+        gate_state=gate_new,
     )

@@ -136,14 +136,17 @@ class GlobalBundleAdjustment:
         )
 
         # --- merge: keyframes inserted after the snapshot propagate their
-        # odometry parent's correction, in slot order. NOTE: the BA
-        # problem's keyframe axis is in self.alive order, not slot order.
+        # SPANNING-TREE parent's correction, in slot order (the reference's
+        # mpParent walk, src/LoopClosing.cc:920-1010; parents always have a
+        # lower slot, so slot order is a valid topological order). NOTE: the
+        # BA problem's keyframe axis is in self.alive order, not slot order.
         if K_now > self.k0 or self.capped or m.n_pts > self.n_pts0:
             corrected = poses_old.copy()
             moved = self.alive[self.free]
             corrected[moved] = new_poses[: len(self.alive)][self.free]
             for k in range(self.k0, K_now):
-                parent = k - 1
+                p = int(m.kf_parent[k]) if hasattr(m, "kf_parent") else -1
+                parent = p if 0 <= p < k else k - 1
                 rel = poses_old[k] @ np.linalg.inv(poses_old[parent])
                 corrected[k] = rel @ corrected[parent]
             if K_now > self.k0:

@@ -238,6 +238,9 @@ class System:
         # previous-frame state for the dynamic stage
         self.prev_gray = None
         self.prev_depth = None
+        # EMA gate levels for the dynamic stage (device (3,) array carried
+        # frame to frame; None = cold start at the absolute thresholds)
+        self._dyn_gates = None
         self.prev_kp_xy = None
         self.prev_kp_valid = None
         # mono fast path: last frame's per-keypoint landmark ids (device
@@ -361,7 +364,9 @@ class System:
                     lk_iters=dcfg.lk_iters,
                     pnp_hypotheses=dcfg.pnp_hypotheses,
                     cur_rgb=c,
+                    gate_state=self._dyn_gates,
                 )
+                self._dyn_gates = dyn.gate_state
                 res = fused_frame_step(
                     self.pipeline, g, d, self.last_feats, self.last_Tcw,
                     self.velocity, view, self._r_mm, self._r_map,
@@ -776,7 +781,9 @@ class System:
                 lk_iters=dcfg.lk_iters,
                 pnp_hypotheses=dcfg.pnp_hypotheses,
                 cur_rgb=rgb,
+                gate_state=self._dyn_gates,
             )
+            self._dyn_gates = dyn.gate_state
             suppress = dyn.suppress_mask
         elif has_seg:
             suppress = dilate_mask(seg, dcfg.mask_dilate_radius)
@@ -853,6 +860,7 @@ class System:
         self.last_kf_inliers = 0
         self._mono_ref = None
         self._last_pid = None
+        self._dyn_gates = None
 
     def global_refine(self):
         """Full-map refinement (reference global BA): joint camera+structure

@@ -161,9 +161,14 @@ def test_gba_merges_keyframes_inserted_during_solve(planes):
     slam._flush_pending()
     k_now = m.n_kfs
     assert k_now > k0, "fixture must insert keyframes mid-solve"
+    def parent_of(k):
+        # must match GlobalBundleAdjustment.finish's propagation parent
+        p = int(m.kf_parent[k])
+        return p if 0 <= p < k else k - 1
+
     rel_before = [
         np.array(m.arrays.kf_pose[k]) @ np.linalg.inv(
-            np.array(m.arrays.kf_pose[k - 1])
+            np.array(m.arrays.kf_pose[parent_of(k)])
         )
         for k in range(k0, k_now)
     ]
@@ -175,12 +180,13 @@ def test_gba_merges_keyframes_inserted_during_solve(planes):
     # optimized keyframes moved back toward truth
     err_after = pose_err(m, clean)[1:k0]
     assert np.median(err_after) < 0.015, np.median(err_after)
-    # merged keyframes kept their relative pose to the parent (the
-    # spanning-tree merge propagates the correction, it does not distort
-    # the post-snapshot odometry)
+    # merged keyframes kept their relative pose to their SPANNING-TREE
+    # parent (the reference's mpParent walk, src/LoopClosing.cc:920-1010:
+    # the merge propagates the correction, it does not distort the
+    # post-snapshot relative geometry)
     for j, k in enumerate(range(k0, k_now)):
         rel_after = np.array(m.arrays.kf_pose[k]) @ np.linalg.inv(
-            np.array(m.arrays.kf_pose[k - 1])
+            np.array(m.arrays.kf_pose[parent_of(k)])
         )
         assert np.allclose(rel_after, rel_before[j], atol=1e-4), k
     slam.shutdown()
