@@ -151,6 +151,11 @@ class FusedStepResult(NamedTuple):
                                 # + keyframe insertion) needs, in ONE array
                                 # so the reader thread fetches it in a single
                                 # tunnel round trip per frame
+    stats_acc: jax.Array        # (V, 2) int32 accumulated [visible, found]
+                                # per local-view row, carried frame to frame
+                                # in the device state chain and applied to
+                                # the map once per keyframe (replaces a
+                                # per-frame bump_stats dispatch)
 
 
 def _pack_supervision(counts, lm, feats) -> jax.Array:
@@ -162,34 +167,21 @@ def _pack_supervision(counts, lm, feats) -> jax.Array:
     ])
 
 
-@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("min_lm",))
-def fused_frame_step(
-    pipe,                      # ORBPipeline (static, hashed by config)
-    image: jax.Array,
-    depth: jax.Array,
-    last: FrameFeatures,
-    last_Tcw: jax.Array,
-    velocity: jax.Array,
-    view,                      # slam_map.LocalView
-    mm_radius: jax.Array,
-    map_radius: jax.Array,
-    min_lm: int = 30,
-    suppress_mask: Optional[jax.Array] = None,
-) -> FusedStepResult:
-    """The per-frame megakernel (SURVEY.md section 7 architecture stance):
-    ORB extraction + motion-model tracking + local-map tracking + the pose/
-    velocity state update as ONE compiled XLA program. The host reads back a
-    single (2,) counts vector per frame -- every extra eager op or device
-    read costs a full tunnel round trip (~25-30 ms measured on the axon
-    link), which at 5+ per frame was 10x the actual compute time.
+def _accumulate_stats(stats_acc, lm) -> jax.Array:
+    """Fold this frame's [visible, found] row booleans into the carried
+    accumulator (None = cold start)."""
+    delta = jnp.stack(
+        [(lm.visible_ids >= 0), (lm.found_ids >= 0)], axis=-1
+    ).astype(jnp.int32)
+    return delta if stats_acc is None else stats_acc + delta
 
-    suppress_mask: optional (H, W) dynamic-pixel mask from compute_dynamics
-    (the Amos keypoint deletion step). The dynamics program dispatches
-    SEPARATELY on purpose: inlining it here compiled into a ~44 ms program
-    while the two programs run in ~7 ms total -- XLA's scheduling of the
-    combined graph (image-wide SLIC/LK fused against the matching pipeline)
-    is the pathology, not the arithmetic.
-    """
+
+def _frame_step_core(
+    pipe, image, depth, last, last_Tcw, velocity, view,
+    mm_radius, map_radius, min_lm, suppress_mask, stats_acc,
+) -> FusedStepResult:
+    """Traceable body shared by fused_frame_step (one frame = one dispatch)
+    and fused_frame_scan (a W-frame chunk = one dispatch)."""
     from ..slam_map.slam_map import track_local_map
 
     T_pred = se3.orthonormalize(velocity @ last_Tcw)
@@ -218,7 +210,213 @@ def fused_frame_step(
     return FusedStepResult(
         feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts,
         sup=_pack_supervision(counts, lm, feats),
+        stats_acc=_accumulate_stats(stats_acc, lm),
     )
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("min_lm",))
+def fused_frame_step(
+    pipe,                      # ORBPipeline (static, hashed by config)
+    image: jax.Array,
+    depth: jax.Array,
+    last: FrameFeatures,
+    last_Tcw: jax.Array,
+    velocity: jax.Array,
+    view,                      # slam_map.LocalView
+    mm_radius: jax.Array,
+    map_radius: jax.Array,
+    min_lm: int = 30,
+    suppress_mask: Optional[jax.Array] = None,
+    stats_acc: Optional[jax.Array] = None,
+) -> FusedStepResult:
+    """The per-frame megakernel (SURVEY.md section 7 architecture stance):
+    ORB extraction + motion-model tracking + local-map tracking + the pose/
+    velocity state update as ONE compiled XLA program. The host reads back a
+    single (2,) counts vector per frame -- every extra eager op or device
+    read costs a full tunnel round trip (~25-30 ms measured on the axon
+    link), which at 5+ per frame was 10x the actual compute time.
+
+    suppress_mask: optional (H, W) dynamic-pixel mask from compute_dynamics
+    (the Amos keypoint deletion step). The dynamics program dispatches
+    SEPARATELY on purpose: inlining it here compiled into a ~44 ms program
+    while the two programs run in ~7 ms total -- XLA's scheduling of the
+    combined graph (image-wide SLIC/LK fused against the matching pipeline)
+    is the pathology, not the arithmetic.
+    """
+    return _frame_step_core(
+        pipe, image, depth, last, last_Tcw, velocity, view,
+        mm_radius, map_radius, min_lm, suppress_mask, stats_acc,
+    )
+
+
+class ChunkYs(NamedTuple):
+    """Per-frame outputs of a chunk scan, stacked along a leading W axis."""
+    Tcw: jax.Array             # (W, 4, 4)
+    sup: jax.Array             # (W, 2+3N) packed supervision rows
+    feats: FrameFeatures       # (W, ...) -- sliced lazily only when a
+                               # keyframe decision actually needs a row
+
+
+class FusedChunkResult(NamedTuple):
+    feats: FrameFeatures       # final frame's features (scan carry)
+    Tcw: jax.Array             # final pose
+    velocity: jax.Array        # final velocity
+    stats_acc: jax.Array       # (V, 2) accumulated [visible, found]
+    ys: ChunkYs
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("min_lm",))
+def fused_frame_scan(
+    pipe,                      # ORBPipeline (static, hashed by config)
+    images: jax.Array,         # (W, H, Wd) chunk of frames
+    depths: jax.Array,         # (W, H, Wd)
+    last: FrameFeatures,
+    last_Tcw: jax.Array,
+    velocity: jax.Array,
+    view,                      # slam_map.LocalView (fixed across the chunk)
+    mm_radius: jax.Array,
+    map_radius: jax.Array,
+    min_lm: int = 30,
+    stats_acc: Optional[jax.Array] = None,
+) -> FusedChunkResult:
+    """Micro-batched tracking: W fused frame steps under ONE lax.scan = ONE
+    device dispatch. Through a remote-dispatch link each program execution
+    costs ~5 ms of fixed overhead regardless of its arithmetic (the fused
+    step's compute is ~0.2 ms), so chunking W frames divides the dominant
+    per-frame cost by W. The local-map view is held fixed across the chunk
+    -- keyframe decisions resolve at chunk granularity, so supervision lag
+    grows from <=2 frames to <=2W; the reference's LocalMapping inserts
+    keyframes with comparable latency from its consumer thread
+    (src/LocalMapping.cc:73)."""
+    V = view.ids.shape[0]
+    acc0 = (
+        jnp.zeros((V, 2), jnp.int32) if stats_acc is None else stats_acc
+    )
+
+    def body(carry, inp):
+        feats, Tcw, vel, acc = carry
+        g, d = inp
+        res = _frame_step_core(
+            pipe, g, d, feats, Tcw, vel, view,
+            mm_radius, map_radius, min_lm, None, acc,
+        )
+        ys = ChunkYs(Tcw=res.Tcw, sup=res.sup, feats=res.feats)
+        return (res.feats, res.Tcw, res.velocity, res.stats_acc), ys
+
+    carry, ys = jax.lax.scan(
+        body, (last, last_Tcw, velocity, acc0), (images, depths)
+    )
+    feats, Tcw, vel, acc = carry
+    return FusedChunkResult(
+        feats=feats, Tcw=Tcw, velocity=vel, stats_acc=acc, ys=ys
+    )
+
+
+class DynChunkResult(NamedTuple):
+    feats: FrameFeatures       # final frame's features (scan carry)
+    Tcw: jax.Array
+    velocity: jax.Array
+    stats_acc: jax.Array
+    gate_state: jax.Array      # (3,) EMA dynamic-gate levels (carry out)
+    ys: ChunkYs
+
+
+@functools.lru_cache(maxsize=16)
+def make_dyn_chunk_fn(pipe, dcfg, min_lm: int, has_seg: bool, use_rgb: bool):
+    """Build the jitted W-frame two-stage chunk program.
+
+    lru_cache'd on the (hashable) pipeline/config so the jitted closure --
+    and therefore its compiled executables -- are shared across System
+    instances: without it every new System would recompile the largest
+    program in the codebase (~minutes through the remote-compile tunnel).
+
+    One dispatch runs, for each of W frames: the full Amos geometric stage
+    (LK flow, F-matrix epipolar outliers, PnP arbitration, SLIC/k-means
+    cluster votes -- compute_dynamics) feeding keypoint suppression into the
+    fused tracking step. Stage-1 semantic masks for the whole chunk come in
+    precomputed (models.segmenter.person_mask_batch: one batched backbone
+    forward -- the async produce-ahead mode the reference sketches at
+    src/yolact.cc:123-172). The scan carries (features, pose, velocity,
+    EMA gate levels, stats accumulator) across frames, so the chunk is
+    exactly the per-frame pipeline with the fixed per-dispatch cost paid
+    once per W frames."""
+    from .dynamics import compute_dynamics
+
+    kw = dict(
+        epi_outlier_th=dcfg.epipolar_outlier_th,
+        mean_rpe_th=dcfg.mean_rpe_th,
+        flow3d_th=dcfg.flow3d_th,
+        n_clusters=dcfg.n_clusters,
+        slic_cell=dcfg.slic_cell,
+        slic_iters=dcfg.slic_iters,
+        dilate_radius=dcfg.mask_dilate_radius,
+        slic_compactness=dcfg.slic_compactness,
+        has_seg=has_seg,
+        slic_downsample=dcfg.slic_downsample,
+        lk_levels=dcfg.lk_levels,
+        lk_win=dcfg.lk_win,
+        lk_iters=dcfg.lk_iters,
+        pnp_hypotheses=dcfg.pnp_hypotheses,
+    )
+
+    @jax.jit
+    def dyn_chunk(
+        images,        # (W, H, Wd)
+        depths,        # (W, H, Wd)
+        prev_g,        # (*, H, Wd) tail of the previous chunk ([-1] is used)
+        prev_d,        # (*, H, Wd)
+        segs,          # (W, H, Wd) stage-1 masks (ignored if not has_seg)
+        rgbs,          # (W, H, Wd, 3) or None (static by use_rgb)
+        last: FrameFeatures,
+        last_Tcw, velocity, gates, view, mm_radius, map_radius,
+        fid0, stats_acc,
+    ):
+        W = images.shape[0]
+        prevs_g = jnp.concatenate([prev_g[-1:], images[:-1]])
+        prevs_d = jnp.concatenate([prev_d[-1:], depths[:-1]])
+        idx = jnp.arange(W)
+
+        def body(carry, inp):
+            feats, Tcw, vel, g8, acc = carry
+            if use_rgb:
+                g, d, pg, pd, seg, rgb, i = inp
+            else:
+                g, d, pg, pd, seg, i = inp
+                rgb = None
+            dyn = compute_dynamics(
+                pipe.cam, pg, pd, g, d, seg, Tcw, vel,
+                feats.kp.xy, feats.kp.valid, fid0 + i,
+                cur_rgb=rgb, gate_state=g8, **kw,
+            )
+            res = _frame_step_core(
+                pipe, g, d, feats, Tcw, vel, view,
+                mm_radius, map_radius, min_lm, dyn.suppress_mask, acc,
+            )
+            ys = ChunkYs(Tcw=res.Tcw, sup=res.sup, feats=res.feats)
+            return (
+                res.feats, res.Tcw, res.velocity, dyn.gate_state,
+                res.stats_acc,
+            ), ys
+
+        xs = (
+            (images, depths, prevs_g, prevs_d, segs, rgbs, idx)
+            if use_rgb
+            else (images, depths, prevs_g, prevs_d, segs, idx)
+        )
+        V = view.ids.shape[0]
+        acc0 = (
+            jnp.zeros((V, 2), jnp.int32) if stats_acc is None else stats_acc
+        )
+        carry, ys = jax.lax.scan(
+            body, (last, last_Tcw, velocity, gates, acc0), xs
+        )
+        feats, Tcw, vel, g8, acc = carry
+        return DynChunkResult(
+            feats=feats, Tcw=Tcw, velocity=vel, stats_acc=acc,
+            gate_state=g8, ys=ys,
+        )
+
+    return dyn_chunk
 
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("min_lm",))
@@ -234,6 +432,7 @@ def fused_stereo_step(
     map_radius: jax.Array,
     min_z: jax.Array,
     min_lm: int = 30,
+    stats_acc: Optional[jax.Array] = None,
 ) -> FusedStepResult:
     """One-dispatch stereo frame: L/R extraction (the reference's two
     std::threads, src/Frame.cc:161-170, here two fused subgraphs), subpixel
@@ -275,6 +474,7 @@ def fused_stereo_step(
     return FusedStepResult(
         feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts,
         sup=_pack_supervision(counts, lm, feats),
+        stats_acc=_accumulate_stats(stats_acc, lm),
     )
 
 
@@ -292,6 +492,7 @@ def fused_mono_step(
     mm_radius: jax.Array,
     map_radius: jax.Array,
     min_lm: int = 30,
+    stats_acc: Optional[jax.Array] = None,
 ) -> FusedStepResult:
     """One-dispatch monocular frame (the mono analogue of fused_frame_step).
 
@@ -340,6 +541,7 @@ def fused_mono_step(
     return FusedStepResult(
         feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts,
         sup=_pack_supervision(counts, lm, feats),
+        stats_acc=_accumulate_stats(stats_acc, lm),
     )
 
 

@@ -103,6 +103,55 @@ class Segmenter:
 
         self._mask_fn = _mask_fn
 
+        @jax.jit
+        def _mask_batch_fn(params, rgbs):
+            """(B, H, W, 3) -> (B, H, W) bool. One program for the whole
+            batch: the backbone/FPN convs run batched (better MXU
+            utilization than B single-image programs) and the per-frame
+            dispatch overhead is paid once. Used by the chunked tracking
+            path (System.track_rgbd_chunk) to segment a whole chunk ahead
+            of the dynamics scan -- the reference sketches exactly this
+            async produce-ahead mode for its segmenter thread
+            (src/yolact.cc:123-172)."""
+            B, H, W = rgbs.shape[0], rgbs.shape[1], rgbs.shape[2]
+            rgbs = rgbs.astype(jnp.float32)
+            img = jax.image.resize(
+                rgbs, (B, img_size, img_size, 3), "bilinear"
+            )
+            bgr = img[..., ::-1]
+            x = ((bgr - means) / std).astype(compute_dtype)
+            p_c = jax.tree.map(
+                lambda p: p.astype(compute_dtype)
+                if p.dtype == jnp.float32 else p,
+                params,
+            )
+            loc, conf, coef, proto = self.model.apply(p_c, x)
+            loc, conf, coef, proto = (
+                t.astype(jnp.float32) for t in (loc, conf, coef, proto)
+            )
+
+            def one(loc_i, conf_i, coef_i, proto_i):
+                det = detect(
+                    loc_i, conf_i, coef_i, self.priors,
+                    top_k=self.top_k, conf_th=self.score_th,
+                )
+                is_person = jnp.any(
+                    det.classes[:, None] == pc[None, :], axis=-1
+                )
+                masks = assemble_masks(proto_i, det)
+                masks = masks & (is_person & det.valid)[:, None, None]
+                return jnp.any(masks, axis=0).astype(jnp.float32)
+
+            union = jax.vmap(one)(loc, conf, coef, proto)
+            out = jax.image.resize(union, (B, H, W), "bilinear")
+            return out > 0.5
+
+        self._mask_batch_fn = _mask_batch_fn
+
     def person_mask(self, rgb) -> jax.Array:
         """(H, W, 3) RGB image (uint8 or float [0,255]) -> (H, W) bool."""
         return self._mask_fn(self.params, jnp.asarray(rgb))
+
+    def person_mask_batch(self, rgbs) -> jax.Array:
+        """(B, H, W, 3) RGB images -> (B, H, W) bool masks, one dispatch."""
+        return self._mask_batch_fn(self.params, jnp.asarray(rgbs))

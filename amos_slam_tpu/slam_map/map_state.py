@@ -239,6 +239,26 @@ def bump_point_stats_kernel(
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+def bump_point_stats_rows_kernel(
+    m: MapArrays, ids: jax.Array, acc: jax.Array
+) -> MapArrays:
+    """Apply an accumulated (V, 2) [visible, found] count block onto the
+    global counters in ONE scatter. The accumulator is built for free inside
+    the fused frame program (tracking.fused_frame_step carries it in the
+    device state chain), so per-frame stat bumps cost zero extra dispatches
+    -- the reference bumps per frame from TrackLocalMap
+    (MapPoint::IncreaseVisible/Found, src/Tracking.cc:2321-2419)."""
+    M = m.pt_pos.shape[0]
+    ok = ids >= 0
+    tgt = jnp.where(ok, ids, M - 1)
+    okz = ok.astype(jnp.int32)
+    return m._replace(
+        pt_visible=m.pt_visible.at[tgt].add(acc[:, 0] * okz),
+        pt_found=m.pt_found.at[tgt].add(acc[:, 1] * okz),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def apply_ba_kernel(
     m: MapArrays,
     kf_slots: jax.Array,     # (L,) int32 slots whose poses were optimized

@@ -29,6 +29,7 @@ from .map_state import (
     add_points_kernel,
     apply_ba_kernel,
     bump_point_stats_kernel,
+    bump_point_stats_rows_kernel,
     compact_keyframes_kernel,
     cull_points_kernel,
     empty_map,
@@ -309,6 +310,43 @@ def _gather_ba_inputs(a: MapArrays, slots_j: jax.Array, gather_pts: jax.Array):
         a.kf_ur[slots_j],
         a.kf_inv_sigma2[slots_j],
         a.kf_kp_valid[slots_j],
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _local_ba_fused(
+    a: MapArrays,
+    cam: Camera,
+    slots_j: jax.Array,      # (Kb,) keyframe slots (padded)
+    slot_valid: jax.Array,   # (Kb,) bool
+    free_p: jax.Array,       # (Kb,) bool (already masked by slot_valid)
+    obs_local: jax.Array,    # (Kb, N) local landmark index per kp (-1)
+    pt_ids_p: jax.Array,     # (Vp,) landmark ids (-1 pad)
+) -> MapArrays:
+    """Local BA as ONE device program: input gather -> Schur/LM solve ->
+    result scatter. The split form (gather, solve, apply = 3 dispatches)
+    pays the remote-dispatch fixed cost three times per solve; fused it is
+    one, which is what sets the backend cadence ceiling
+    (BASELINE local_ba_solves_per_sec)."""
+    gather_pts = jnp.maximum(pt_ids_p, 0)
+    kf_pose, pt_pos, pt_valid, kf_xy, kf_ur, kf_is2, kf_kpv = (
+        _gather_ba_inputs(a, slots_j, gather_pts)
+    )
+    prob = BAProblem(
+        kf_pose=kf_pose,
+        kf_free=free_p,
+        kf_valid=slot_valid,
+        points=pt_pos,
+        point_valid=(pt_ids_p >= 0) & pt_valid,
+        obs_point=obs_local,
+        obs_uv=kf_xy,
+        obs_ur=kf_ur,
+        obs_inv_sigma2=kf_is2,
+        obs_valid=kf_kpv & (obs_local >= 0),
+    )
+    res = solve_local_ba(cam, prob)
+    return apply_ba_kernel(
+        a, slots_j, free_p, res.kf_pose, pt_ids_p, res.points
     )
 
 
@@ -935,17 +973,16 @@ class SlamMap:
         return created
 
     # -- bundle adjustment -----------------------------------------------------
-    def build_ba_problem(
+    def _ba_host_prep(
         self,
-        slots: np.ndarray,       # keyframe slots participating
-        free: np.ndarray,        # same length: optimize this slot's pose?
-        pt_ids: np.ndarray,      # landmark ids participating
-        Kb: int,                 # padded keyframe-slot count (static shape)
-        Vp: int,                 # padded landmark count (static shape)
+        slots: np.ndarray,
+        free: np.ndarray,
+        pt_ids: np.ndarray,
+        Kb: int,
+        Vp: int,
     ):
-        """Assemble a padded BAProblem over the given keyframes/landmarks
-        (shared by local and joint-global BA). Returns
-        (problem, slots_j, free_p, pt_ids_p)."""
+        """Host-side padding/remapping shared by local and global BA:
+        returns (slots_p, slot_valid, free_p, obs_local, pt_ids_p) numpy."""
         pad = Kb - len(slots)
         slots_p = np.concatenate([slots, np.zeros(pad, np.int64)])
         slot_valid = np.concatenate(
@@ -962,6 +999,22 @@ class SlamMap:
 
         pt_pad = Vp - len(pt_ids)
         pt_ids_p = np.concatenate([pt_ids, np.full(pt_pad, -1, np.int64)])
+        return slots_p, slot_valid, free_p, obs_local, pt_ids_p
+
+    def build_ba_problem(
+        self,
+        slots: np.ndarray,       # keyframe slots participating
+        free: np.ndarray,        # same length: optimize this slot's pose?
+        pt_ids: np.ndarray,      # landmark ids participating
+        Kb: int,                 # padded keyframe-slot count (static shape)
+        Vp: int,                 # padded landmark count (static shape)
+    ):
+        """Assemble a padded BAProblem over the given keyframes/landmarks
+        (shared by local and joint-global BA). Returns
+        (problem, slots_j, free_p, pt_ids_p)."""
+        slots_p, slot_valid, free_p, obs_local, pt_ids_p = (
+            self._ba_host_prep(slots, free, pt_ids, Kb, Vp)
+        )
         gather_pts = jnp.asarray(np.maximum(pt_ids_p, 0).astype(np.int32))
 
         slots_j = jnp.asarray(slots_p.astype(np.int32))
@@ -1028,15 +1081,29 @@ class SlamMap:
         if len(frontier) == 0:
             free[0] = False
 
-        prob, slots_j, free_p, pt_ids_p = self.build_ba_problem(
-            slots, free, pt_ids, Lw + Fw, Vba
+        slots_p, slot_valid, free_p, obs_local, pt_ids_p = (
+            self._ba_host_prep(slots, free, pt_ids, Lw + Fw, Vba)
         )
-        res = solve_local_ba(self.cam, prob)
-        self.apply_ba_result(slots_j, free_p, pt_ids_p, res.kf_pose, res.points)
+        self.version += 1
+        self.arrays = _local_ba_fused(
+            self.arrays,
+            self.cam,
+            jnp.asarray(slots_p.astype(np.int32)),
+            jnp.asarray(slot_valid),
+            jnp.asarray(free_p & slot_valid),
+            jnp.asarray(obs_local.astype(np.int32)),
+            jnp.asarray(pt_ids_p.astype(np.int32)),
+        )
 
     # -- maintenance -----------------------------------------------------------
     def bump_stats(self, visible_ids: jax.Array, found_ids: jax.Array):
         self.arrays = bump_point_stats_kernel(self.arrays, visible_ids, found_ids)
+
+    def apply_stats_rows(self, ids: jax.Array, acc: jax.Array):
+        """Apply a (V, 2) [visible, found] accumulator (built for free in
+        the fused frame program's device state chain) in one scatter --
+        per-frame stat bumps then cost zero extra dispatches."""
+        self.arrays = bump_point_stats_rows_kernel(self.arrays, ids, acc)
 
     def cull_points_dispatch(self):
         """Device half of MapPointCulling: the (2, M) stats fetch."""

@@ -81,11 +81,23 @@ class _SupervisionReader:
             n_got = len(group)
             stop = any(g is None for g in group)
             group = [g for g in group if g is not None]
-            if len(group) == 1:
-                sups = np.asarray(group[0][0].sup)[None]
-            elif group:
-                sups = np.asarray(jnp.stack([res.sup for res, _, _ in group]))
-            for (res, view, frame_id), sup in zip(group, sups):
+            # group by supervision shape (single frames are (S,), chunk
+            # scans are (W, S); both may interleave around init/LOST) and
+            # fetch each shape class as ONE stacked transfer
+            sups_np = [None] * len(group)
+            by_shape = {}
+            for i, (sup, _) in enumerate(group):
+                by_shape.setdefault(tuple(sup.shape), []).append(i)
+            for idxs in by_shape.values():
+                if len(idxs) == 1:
+                    sups_np[idxs[0]] = np.asarray(group[idxs[0]][0])
+                else:
+                    stacked = np.asarray(
+                        jnp.stack([group[i][0] for i in idxs])
+                    )
+                    for k, i in enumerate(idxs):
+                        sups_np[i] = stacked[k]
+            for (_, (res, view, frame_id)), sup in zip(group, sups_np):
                 self._out.append((res, view, frame_id, sup))
             for _ in range(n_got):
                 self._in.task_done()
@@ -174,6 +186,33 @@ class _AsyncFetcher:
             self._in.join()
 
 
+class _ChunkRow:
+    """Lazy per-frame view over a FusedChunkResult: device arrays are
+    sliced only if the supervisor actually needs them (keyframe insertion
+    happens for a few % of frames; slicing every row would cost a device
+    dispatch per leaf per frame)."""
+
+    __slots__ = ("_chunk", "_j", "_feats")
+
+    def __init__(self, chunk, j: int):
+        self._chunk = chunk
+        self._j = j
+        self._feats = None
+
+    @property
+    def feats(self):
+        if self._feats is None:
+            j = self._j
+            self._feats = jax.tree_util.tree_map(
+                lambda x: x[j], self._chunk.ys.feats
+            )
+        return self._feats
+
+    @property
+    def Tcw(self):
+        return self._chunk.ys.Tcw[self._j]
+
+
 class System:
     """The SLAM system facade for RGB-D, stereo, and monocular sensors.
 
@@ -248,6 +287,14 @@ class System:
         # fast-path frame produces one)
         self._last_pid = None
         self._zero_masks = {}   # (H, W) -> cached device all-false mask
+        # landmark visible/found counters accumulate INSIDE the fused frame
+        # program ((V,2) carried in the device state chain) and apply to the
+        # map in one scatter per keyframe -- a per-frame bump_stats dispatch
+        # costs a full tunnel dispatch (~5 ms measured), doubling frame cost
+        self._stats_acc = None
+        self._acc_ids = None
+        # cached two-stage chunk programs keyed (has_seg, use_rgb)
+        self._dyn_chunk_fns = {}
         # auto-reset when tracking is lost soon after initialization with a
         # tiny map (reference src/Tracking.cc:785-793: "Track lost soon
         # after initialisation, reseting..."): relocalization against <= 5
@@ -263,6 +310,14 @@ class System:
         self.state = TrackingState.LOST
         if self.map.n_kfs <= 5 and not self.localization_only:
             self._pending_reset = True
+
+    def _flush_stats(self):
+        """Apply the accumulated [visible, found] counters to the map (one
+        scatter), then reset the accumulator."""
+        if self._stats_acc is not None and self._acc_ids is not None:
+            self.map.apply_stats_rows(self._acc_ids, self._stats_acc)
+        self._stats_acc = None
+        self._acc_ids = None
 
     def _zero_mask(self, g) -> jax.Array:
         """Cached all-false segmentation mask (allocating one per frame is
@@ -296,6 +351,11 @@ class System:
         g = jnp.asarray(gray)
         d = jnp.asarray(depth)
         c = jnp.asarray(rgb) if rgb is not None else None
+        if self.prev_gray is not None and self.prev_gray.ndim == 3:
+            # chunk-mode -> per-frame transition: the chunk path keeps the
+            # whole previous stack; the per-frame path needs its last row
+            self.prev_gray = self.prev_gray[-1]
+            self.prev_depth = self.prev_depth[-1]
 
         # resolve whatever supervision the reader finished BEFORE deciding
         # this frame's path: keyframes inserted here reach this very
@@ -306,7 +366,7 @@ class System:
             self._flush_pending()
         else:
             for done in self._reader.drain():
-                self._resolve_step(*done)
+                self._resolve_done(*done)
             self._fetcher.drain()
 
         # Fast path: with neither a seg mask nor the geometric stage active,
@@ -335,6 +395,8 @@ class System:
             tcfg = self.cfg.tracking
             dcfg = self.cfg.dynamics
             view = self.map.local_view(self.ref_kf)
+            if self._acc_ids is not None and view.ids is not self._acc_ids:
+                self._flush_stats()   # view changed: apply counts to old ids
             if use_dyn_fast:
                 # TWO dispatches by design: dynamics program + tracking
                 # program (see fused_frame_step's suppress_mask note -- the
@@ -372,13 +434,17 @@ class System:
                     self.velocity, view, self._r_mm, self._r_map,
                     min_lm=tcfg.min_inliers_local_map,
                     suppress_mask=dyn.suppress_mask,
+                    stats_acc=self._stats_acc,
                 )
             else:
                 res = fused_frame_step(
                     self.pipeline, g, d, self.last_feats, self.last_Tcw,
                     self.velocity, view, self._r_mm, self._r_map,
                     min_lm=tcfg.min_inliers_local_map,
+                    stats_acc=self._stats_acc,
                 )
+            self._stats_acc = res.stats_acc
+            self._acc_ids = view.ids
             # advance the device state chain immediately
             self.last_feats = res.feats
             self.last_Tcw = res.Tcw
@@ -389,9 +455,9 @@ class System:
             self.timestamps.append(timestamp)
             self.poses_cw.append(res.Tcw)
 
-            self._reader.submit((res, view, self.frame_id))
+            self._reader.submit((res.sup, (res, view, self.frame_id)))
             for done in self._reader.drain():
-                self._resolve_step(*done)
+                self._resolve_done(*done)
             self._fetcher.drain()
             if self.debug_dir is not None:
                 self._dump_debug(res.feats, g)
@@ -412,6 +478,142 @@ class System:
             Tcw = self._track(feats)
         return self._finish_frame(feats, Tcw, g, d, timestamp)
 
+    def track_rgbd_chunk(self, grays, depths, timestamps, seg_masks=None,
+                         rgbs=None):
+        """Throughput mode: track W frames in ONE device dispatch.
+
+        grays/depths: (W, H, Wd) stacked frames; timestamps: length-W list.
+        seg_masks: optional (W, H, Wd) stage-1 semantic masks for the whole
+        chunk (produce with models.segmenter.person_mask_batch -- one
+        batched backbone forward). rgbs: optional (W, H, Wd, 3) color for
+        CIELAB SLIC in the dynamic stage. Returns the (W, 4, 4) poses.
+
+        The W fused frame steps run under one lax.scan, so the fixed
+        per-dispatch cost (dominant through a remote-dispatch link, ~5 ms
+        vs ~0.2 ms of per-frame compute) is paid once per chunk, and the
+        per-frame supervision rows come home as one (W, S) fetch. With
+        use_dynamics the scan body additionally runs the full Amos
+        geometric stage feeding keypoint suppression (see
+        tracking.make_dyn_chunk_fn). Keyframe decisions resolve at chunk
+        granularity (supervision lag <= 2W frames vs <= 2 in the per-frame
+        API) -- the same async-LocalMapping semantics as the reference's
+        consumer thread, with a deeper queue. Falls back to the per-frame
+        path while not initialized / LOST / deterministic."""
+        from .frontend.tracking import fused_frame_scan
+
+        g = jnp.asarray(grays)
+        d = jnp.asarray(depths)
+        W = g.shape[0]
+        use_dyn = (
+            self.cfg.use_dynamics
+            and self.prev_gray is not None
+            and self.prev_depth is not None
+        )
+        if (
+            self.cfg.deterministic
+            or self.state is not TrackingState.OK
+            or (self.cfg.use_dynamics and not use_dyn)
+        ):
+            # per-frame fallback (eager row slices; only around init/LOST)
+            out = []
+            for j in range(W):
+                m = None if seg_masks is None else seg_masks[j]
+                c = None if rgbs is None else rgbs[j]
+                out.append(
+                    self.track_rgbd(g[j], d[j], timestamps[j],
+                                    seg_mask=m, rgb=c)
+                )
+            return jnp.stack(out)
+
+        for done in self._reader.drain():
+            self._resolve_done(*done)
+        self._fetcher.drain()
+
+        tcfg = self.cfg.tracking
+        view = self.map.local_view(self.ref_kf)
+        if self._acc_ids is not None and view.ids is not self._acc_ids:
+            self._flush_stats()
+        fid0 = self.frame_id + 1
+        self.frame_id += W
+        if use_dyn:
+            res = self._dyn_chunk_call(g, d, seg_masks, rgbs, view, fid0)
+        else:
+            res = fused_frame_scan(
+                self.pipeline, g, d, self.last_feats, self.last_Tcw,
+                self.velocity, view, self._r_mm, self._r_map,
+                min_lm=tcfg.min_inliers_local_map,
+                stats_acc=self._stats_acc,
+            )
+        self._stats_acc = res.stats_acc
+        self._acc_ids = view.ids
+        self.last_feats = res.feats
+        self.last_Tcw = res.Tcw
+        self.velocity = res.velocity
+        self.prev_kp_xy = res.feats.kp.xy
+        self.prev_kp_valid = res.feats.kp.valid
+        self.timestamps.extend(timestamps)
+        self.poses_cw.append(res.ys.Tcw)   # (W,4,4) chunk entry
+        self._reader.submit((res.ys.sup, (res, view, fid0)))
+        for done in self._reader.drain():
+            self._resolve_done(*done)
+        self._fetcher.drain()
+        return res.ys.Tcw
+
+    def _dyn_chunk_call(self, g, d, seg_masks, rgbs, view, fid0):
+        """Dispatch the two-stage W-frame chunk program (cached per
+        (has_seg, use_rgb) static variant)."""
+        from .frontend.tracking import make_dyn_chunk_fn
+
+        has_seg = seg_masks is not None
+        use_rgb = rgbs is not None
+        key = (has_seg, use_rgb)
+        fn = self._dyn_chunk_fns.get(key)
+        if fn is None:
+            fn = make_dyn_chunk_fn(
+                self.pipeline, self.cfg.dynamics,
+                self.cfg.tracking.min_inliers_local_map, has_seg, use_rgb,
+            )
+            self._dyn_chunk_fns[key] = fn
+        segs = (
+            jnp.asarray(seg_masks) if has_seg
+            else jnp.zeros(g.shape, bool)
+        )
+        rgb_stack = jnp.asarray(rgbs) if use_rgb else None
+        # previous-frame stacks: steady state reuses the last chunk's
+        # device stacks wholesale (the program uses only their [-1] rows);
+        # the per-frame -> chunk transition lifts the single (H, W) frames
+        # once
+        pg, pd = self.prev_gray, self.prev_depth
+        if pg.ndim == 2:
+            pg, pd = pg[None], pd[None]
+        gates = (
+            self._dyn_gates if self._dyn_gates is not None
+            else jnp.zeros(3, jnp.float32)
+        )
+        res = fn(
+            g, d, pg, pd, segs, rgb_stack, self.last_feats, self.last_Tcw,
+            self.velocity, gates, view, self._r_mm, self._r_map,
+            jnp.asarray(fid0), self._stats_acc,
+        )
+        self._dyn_gates = res.gate_state
+        # keep the full stacks: the next chunk slices [-1] inside its
+        # program; a host-side slice would be an extra dispatch per chunk
+        self.prev_gray, self.prev_depth = g, d
+        return res
+
+    def poses_np(self):
+        """All frame poses as a list of (4, 4) float64 arrays; chunk-mode
+        entries ((W, 4, 4) stacks) are expanded in order."""
+        self._flush_pending()
+        out = []
+        for T in self.poses_cw:
+            a = np.asarray(T, np.float64)
+            if a.ndim == 3:
+                out.extend(a)
+            else:
+                out.append(a)
+        return out
+
     def track_stereo(self, left: np.ndarray, right: np.ndarray, timestamp: float):
         """Rectified stereo pair in, pose out (reference System::TrackStereo).
 
@@ -430,7 +632,7 @@ class System:
             self._flush_pending()
         else:
             for done in self._reader.drain():
-                self._resolve_step(*done)
+                self._resolve_done(*done)
             self._fetcher.drain()
 
         # pipelined fused fast path, like track_rgbd
@@ -439,11 +641,16 @@ class System:
 
             tcfg = self.cfg.tracking
             view = self.map.local_view(self.ref_kf)
+            if self._acc_ids is not None and view.ids is not self._acc_ids:
+                self._flush_stats()
             res = fused_stereo_step(
                 self.pipeline, gl, gr, self.last_feats, self.last_Tcw,
                 self.velocity, view, self._r_mm, self._r_map,
                 jnp.asarray(min_z), min_lm=tcfg.min_inliers_local_map,
+                stats_acc=self._stats_acc,
             )
+            self._stats_acc = res.stats_acc
+            self._acc_ids = view.ids
             self.last_feats = res.feats
             self.last_Tcw = res.Tcw
             self.velocity = res.velocity
@@ -451,9 +658,9 @@ class System:
             self.prev_kp_valid = res.feats.kp.valid
             self.timestamps.append(timestamp)
             self.poses_cw.append(res.Tcw)
-            self._reader.submit((res, view, self.frame_id))
+            self._reader.submit((res.sup, (res, view, self.frame_id)))
             for done in self._reader.drain():
-                self._resolve_step(*done)
+                self._resolve_done(*done)
             self._fetcher.drain()
             if self.debug_dir is not None:
                 self._dump_debug(res.feats, gl)
@@ -494,18 +701,23 @@ class System:
                 self._flush_pending()
             else:
                 for done in self._reader.drain():
-                    self._resolve_step(*done)
+                    self._resolve_done(*done)
                 self._fetcher.drain()
             if self.state is TrackingState.OK and self._last_pid is not None:
                 tcfg = self.cfg.tracking
                 view = self.map.local_view(self.ref_kf)
                 a = self.map.arrays
+                if self._acc_ids is not None and view.ids is not self._acc_ids:
+                    self._flush_stats()
                 res = fused_mono_step(
                     self.pipeline, g, self.last_feats, self._last_pid,
                     a.pt_pos, a.pt_valid, self.last_Tcw, self.velocity,
                     view, self._r_mm, self._r_map,
                     min_lm=tcfg.min_inliers_local_map,
+                    stats_acc=self._stats_acc,
                 )
+                self._stats_acc = res.stats_acc
+                self._acc_ids = view.ids
                 self.last_feats = res.feats
                 self.last_Tcw = res.Tcw
                 self.velocity = res.velocity
@@ -514,9 +726,9 @@ class System:
                 self.prev_kp_valid = res.feats.kp.valid
                 self.timestamps.append(timestamp)
                 self.poses_cw.append(res.Tcw)
-                self._reader.submit((res, view, self.frame_id))
+                self._reader.submit((res.sup, (res, view, self.frame_id)))
                 for done in self._reader.drain():
-                    self._resolve_step(*done)
+                    self._resolve_done(*done)
                 self._fetcher.drain()
                 if self.debug_dir is not None:
                     self._dump_debug(res.feats, g)
@@ -547,6 +759,17 @@ class System:
             np.save(f"{self.debug_dir}/{self.frame_id:06d}_frame.npy", overlay)
 
     # ---------------------------------------------------- pipelined resolve
+    def _resolve_done(self, res, view, frame_id: int, sup):
+        """Route one materialized reader item: a (S,) row supervises one
+        frame; a (W, S) block supervises a whole chunk scan row by row."""
+        if sup.ndim == 2:
+            for j in range(sup.shape[0]):
+                self._resolve_step(
+                    _ChunkRow(res, j), view, frame_id + j, sup[j]
+                )
+        else:
+            self._resolve_step(res, view, frame_id, sup)
+
     def _resolve_step(self, res, view, frame_id: int, sup=None):
         """Lagged host supervision of one fused fast-path frame: state
         machine, keyframe decision, stats. `sup` is the frame's packed
@@ -560,7 +783,9 @@ class System:
         made_kf = False
         if n_lm >= tcfg.min_inliers_local_map:
             self.state = TrackingState.OK
-            self.map.bump_stats(res.lm.visible_ids, res.lm.found_ids)
+            # per-frame visible/found counters accumulate inside the fused
+            # program (res.stats_acc); they apply to the map in one scatter
+            # when the view changes or a keyframe is inserted (below)
             need_kf = (
                 (frame_id - self.last_kf_frame >= 30)
                 or (
@@ -571,6 +796,7 @@ class System:
             )
             if need_kf and not self.localization_only:
                 self._maybe_compact()
+                self._flush_stats()   # cull decisions see fresh counters
                 kp_point = sup[2 : 2 + N].astype(np.int64)
                 valid = sup[2 + N : 2 + 2 * N] > 0
                 close = sup[2 + 2 * N :] > 0
@@ -648,8 +874,9 @@ class System:
 
     def _flush_pending(self):
         for done in self._reader.flush():
-            self._resolve_step(*done)
+            self._resolve_done(*done)
         self._fetcher.flush()
+        self._flush_stats()
 
     # ------------------------------------------------- keyframe maintenance
     def _keyframe_maintenance(self, slot: int):
@@ -792,16 +1019,10 @@ class System:
         return self.pipeline.describe(kp, patches, d, suppress)
 
     def save_trajectory_tum(self, path: str):
-        self._flush_pending()
-        trajectory.save_tum(
-            path, self.timestamps, [np.asarray(T, np.float64) for T in self.poses_cw]
-        )
+        trajectory.save_tum(path, self.timestamps, self.poses_np())
 
     def save_trajectory_kitti(self, path: str):
-        self._flush_pending()
-        trajectory.save_kitti(
-            path, [np.asarray(T, np.float64) for T in self.poses_cw]
-        )
+        trajectory.save_kitti(path, self.poses_np())
 
     def save_keyframe_trajectory_tum(self, path: str):
         """Keyframe poses only (SaveKeyFrameTrajectoryTUM,
@@ -861,6 +1082,8 @@ class System:
         self._mono_ref = None
         self._last_pid = None
         self._dyn_gates = None
+        self._stats_acc = None
+        self._acc_ids = None
 
     def global_refine(self):
         """Full-map refinement (reference global BA): joint camera+structure

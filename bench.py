@@ -30,7 +30,7 @@ def main():
 
     t_start = time.perf_counter()
     cfg = SystemConfig(use_dynamics=False)
-    n_frames = 100
+    n_frames = 96   # multiple of the chunk width
     planes = synthetic.default_room(seed=1)
     poses = synthetic.orbit_trajectory(n_frames, radius=0.1, advance=0.25)
     frames = [
@@ -38,44 +38,67 @@ def main():
         for T in poses
     ]
 
+    CH = 8   # chunk width: W fused frame steps per device dispatch
+    gstack = [
+        jnp.stack([frames[k + i][0] for i in range(CH)])
+        for k in range(0, n_frames, CH)
+    ]
+    dstack = [
+        jnp.stack([frames[k + i][1] for i in range(CH)])
+        for k in range(0, n_frames, CH)
+    ]
+
     def run(slam):
-        for i, (g, d) in enumerate(frames):
-            slam.track_rgbd(g, d, i / 30.0)
+        """Headline path: chunked tracking (track_rgbd_chunk, W frames per
+        XLA dispatch; keyframe supervision resolves at chunk granularity)."""
+        for k in range(len(gstack)):
+            ts = [(k * CH + i) / 30.0 for i in range(CH)]
+            slam.track_rgbd_chunk(gstack[k], dstack[k], ts)
         slam.shutdown()
         return slam
 
     run(System(cfg))                       # warmup: compile everything
     slam = System(cfg)
-    frame_times = []
     t0 = time.perf_counter()
-    for i, (g, d) in enumerate(frames):
-        tf = time.perf_counter()
-        slam.track_rgbd(g, d, i / 30.0)
-        frame_times.append(time.perf_counter() - tf)
-    slam.shutdown()
+    run(slam)
     dt = time.perf_counter() - t0
     fps = n_frames / dt
-    steady_ms = float(np.median(frame_times)) * 1e3
 
-    est = np.asarray([np.asarray(T) for T in slam.poses_cw])
+    est = np.asarray(slam.poses_np())
     gt = np.asarray(poses)
     ate = evaluate.ate_rmse(
         evaluate.positions_from_cw(est), evaluate.positions_from_cw(gt)
     )
     inl = [s["inliers"] for s in slam.stats[1:]]
 
-    # flagship anti-dynamics configuration: YOLACT stage 1 + geometric
-    # stage 2 fused per frame
+    # per-frame API (latency mode): one dispatch per frame
+    slam_pf = System(cfg)
+    frame_times = []
+    t0 = time.perf_counter()
+    for i, (g, d) in enumerate(frames):
+        tf = time.perf_counter()
+        slam_pf.track_rgbd(g, d, i / 30.0)
+        frame_times.append(time.perf_counter() - tf)
+    slam_pf.shutdown()
+    pf_fps = n_frames / (time.perf_counter() - t0)
+    steady_ms = float(np.median(frame_times)) * 1e3
+
+    # flagship anti-dynamics configuration: YOLACT stage 1 (batched over
+    # the chunk: one backbone forward per W frames) + geometric stage 2
+    # inside the chunked scan (tracking.make_dyn_chunk_fn)
     from amos_slam_tpu.models.segmenter import Segmenter
 
     dcfg = SystemConfig(use_dynamics=True)
     seg = Segmenter()
-    rgbs = [jnp.stack([g, g, g], -1) for g, _ in frames]
+    rgbstack = [
+        jnp.stack([jnp.stack([g, g, g], -1) for g in gs]) for gs in gstack
+    ]
 
     def run_dyn(slam):
-        for i, (g, d) in enumerate(frames):
-            m = seg.person_mask(rgbs[i])
-            slam.track_rgbd(g, d, i / 30.0, seg_mask=m)
+        for k in range(len(gstack)):
+            masks = seg.person_mask_batch(rgbstack[k])
+            ts = [(k * CH + i) / 30.0 for i in range(CH)]
+            slam.track_rgbd_chunk(gstack[k], dstack[k], ts, seg_masks=masks)
         slam.shutdown()
 
     run_dyn(System(dcfg))                  # warmup
@@ -83,6 +106,10 @@ def main():
     t0 = time.perf_counter()
     run_dyn(slam_d)
     dyn_fps = n_frames / (time.perf_counter() - t0)
+    est_d = np.asarray(slam_d.poses_np())
+    dyn_ate = evaluate.ate_rmse(
+        evaluate.positions_from_cw(est_d), evaluate.positions_from_cw(gt)
+    )
 
     # local-BA solves/sec (BASELINE.json tracked metric): representative
     # problem = 16 free + 8 fixed cameras, 2048 landmark slots, 10 LM iters
@@ -162,12 +189,16 @@ def main():
             "keyframes": slam.map.n_kfs,
             "map_points": slam.map.n_pts,
             "state": slam.state.name,
+            "per_frame_api_fps": round(pf_fps, 2),
             "steady_state_fps": round(1e3 / steady_ms, 2),
             "steady_state_ms": round(steady_ms, 2),
             "two_stage_with_yolact_fps": round(dyn_fps, 2),
+            "two_stage_ate_rmse_m": round(float(dyn_ate), 4),
             "local_ba_solves_per_sec": round(ba_per_sec, 2),
             "multistream_8x_fps": round(ms_fps, 2) if ms_fps else None,
-            "note": "full System.track_rgbd fused path, 640x480, live map",
+            "note": "chunked System.track_rgbd_chunk (8 frames/dispatch), "
+                    "640x480, live map; per_frame_api_fps = 1-dispatch-"
+                    "per-frame latency mode",
         },
     }
     print(json.dumps(result))
