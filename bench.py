@@ -21,6 +21,10 @@ import numpy as np
 
 
 def main():
+    from amos_slam_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -23,6 +23,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from amos_slam_tpu.utils.jit_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import numpy as np
 import pytest
 
