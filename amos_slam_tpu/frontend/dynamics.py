@@ -81,14 +81,37 @@ def _cluster_median(
     LK tracks put 30+ px errors inside genuinely static clusters, and a
     mean-based statistic drags those clusters toward the dynamic gates
     (measured: static cluster means of 8-17 px vs track medians < 1 px on
-    the weak-room suite)."""
-    nanned = jnp.where(member, vals, jnp.nan)
+    the weak-room suite).
 
-    def med(c):
-        return jnp.nanmedian(jnp.where(pt_cluster == c, nanned, jnp.nan))
+    ONE sort for all clusters: tracks sort by the composite key
+    (cluster, normalized value) -- non-members keyed past every cluster --
+    and each cluster's median is then a 2-element pick at its rank offsets.
+    The previous vmapped-nanmedian form batch-sorted the full track vector
+    once PER CLUSTER (7 call sites x n_clusters sorts dominated the whole
+    dynamics program at ~7 ms on v5e; this form is ~0.1 ms per call)."""
+    N = vals.shape[0]
+    c = jnp.where(member, pt_cluster, n_clusters)
+    finite = jnp.isfinite(vals) & member
+    v_m = jnp.where(finite, vals, 0.0)
+    vmin = jnp.min(jnp.where(finite, v_m, jnp.inf))
+    vmax = jnp.max(jnp.where(finite, v_m, -jnp.inf))
+    span = jnp.maximum(vmax - vmin, 1e-20)
+    vn = jnp.clip((v_m - vmin) / span, 0.0, 1.0)
+    key = c.astype(jnp.float32) * 2.0 + jnp.where(finite, vn, 1.5)
+    _, v_sorted = jax.lax.sort([key, v_m], num_keys=1)
 
-    out = jax.vmap(med)(jnp.arange(n_clusters))
-    return jnp.nan_to_num(out, nan=0.0)
+    ones = jnp.ones(N, jnp.int32)
+    cnt_all = jax.ops.segment_sum(ones, c, num_segments=n_clusters + 1)
+    start = jnp.cumsum(cnt_all) - cnt_all                  # (C+1,)
+    cnt = jax.ops.segment_sum(
+        finite.astype(jnp.int32), pt_cluster, num_segments=n_clusters
+    )
+    lo = start[:n_clusters] + jnp.maximum(cnt - 1, 0) // 2
+    hi = start[:n_clusters] + cnt // 2
+    med = 0.5 * (
+        v_sorted[jnp.clip(lo, 0, N - 1)] + v_sorted[jnp.clip(hi, 0, N - 1)]
+    )
+    return jnp.where(cnt > 0, med, 0.0)
 
 
 def _reproj_err(cam: Camera, T: jax.Array, pts_w: jax.Array, uv: jax.Array):

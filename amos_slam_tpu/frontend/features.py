@@ -147,13 +147,20 @@ class ORBPipeline:
             valid = jnp.pad(valid, (0, pad))
             level = jnp.pad(level, (0, pad))
 
-        # ONE whole-patch block gather feeds both the intensity-centroid
+        # ONE whole-patch sampling pass feeds both the intensity-centroid
         # orientation and the descriptor sampler (see ops/orb_descriptor.py
         # patch-path rationale). Patches come from the blurred pyramid; the
         # reference computes IC_Angle on the raw pyramid, but the centroid of
         # a Gaussian-blurred patch is the blurred centroid -- angle deviation
-        # is sub-degree, validated by the matching/ATE suites.
-        patches = orb_ops.gather_patches(blurred, level, yx)
+        # is sub-degree, validated by the matching/ATE suites. On TPU the
+        # sampling runs as per-level one-hot MXU matmuls (the block gather
+        # is DMA-latency-bound, ~1.5 ms of the frame program).
+        if jax.default_backend() == "tpu":
+            patches = orb_ops.gather_patches_dense(
+                blurred, self.sizes, self.budgets, yx
+            )
+        else:
+            patches = orb_ops.gather_patches(blurred, level, yx)
         angle = orb_ops.orientations_from_patches(patches)
         scale = jnp.asarray(self.scales)[level]
         xy0 = jnp.stack([yx[:, 1] * scale, yx[:, 0] * scale], axis=-1)

@@ -262,6 +262,67 @@ def gather_patches(pyr: jax.Array, level: jax.Array, yx: jax.Array) -> jax.Array
     )
 
 
+def _onehot_matrix(start: jax.Array, P: int, size: int) -> jax.Array:
+    """(N, P, size) bf16 exact one-hot selection matrix: row [n, i] selects
+    index clip(start[n] + i, 0, size-1)."""
+    b = start[:, None] + jnp.arange(P, dtype=jnp.int32)[None]
+    idx = jnp.clip(b, 0, size - 1)[:, :, None]
+    cols = jnp.arange(size, dtype=jnp.int32)[None, None, :]
+    return (cols == idx).astype(jnp.bfloat16)
+
+
+def gather_patches_dense(
+    blurred: jax.Array,
+    level_sizes,
+    budgets,
+    yx: jax.Array,
+) -> jax.Array:
+    """(N, P, P) keypoint patches via per-level one-hot MXU matmuls.
+
+    TPU fast path for :func:`gather_patches`: a block lax.gather of 1024
+    37x37 patches is DMA-latency-bound at ~1.5 ms on v5e; selecting the
+    patch rows/columns with exact one-hot matrices turns the same access
+    pattern into dense matmuls against each level image (~12 GMAC bf16 +
+    ~0.1 GB streamed, ~0.3 ms). Patch values ride bf16 through the MXU --
+    intensity quantization ~0.5/255 -- which both consumers absorb:
+    orientation moments shift < 1e-3 rad (far under the descriptor path's
+    11.25 deg rotation bins) and the descriptor sampler casts its patches
+    to bf16 anyway (tests bound the comparator bit-flip rate vs the f32
+    oracle).
+
+    Requires the detect-keypoints layout contract: keypoints are ordered by
+    level in static ``budgets``-sized groups (padding rows last), with
+    ``yx`` at native level coordinates.
+    """
+    P = PATCH_SIZE
+    N = yx.shape[0]
+    outs = []
+    off = 0
+    for lvl, ((h, w), b) in enumerate(zip(level_sizes, budgets)):
+        if b <= 0:
+            continue
+        img = blurred[lvl, :h, :w].astype(jnp.bfloat16)
+        yxl = yx[off : off + b]
+        y0 = jnp.round(yxl[:, 0]).astype(jnp.int32) - PATCH_RAD
+        x0 = jnp.round(yxl[:, 1]).astype(jnp.int32) - PATCH_RAD
+        Ry = _onehot_matrix(y0, P, h)
+        Cx = _onehot_matrix(x0, P, w)
+        rows = jnp.einsum(
+            "nph,hw->npw", Ry, img, preferred_element_type=jnp.float32
+        )
+        outs.append(
+            jnp.einsum(
+                "npw,nqw->npq", rows.astype(jnp.bfloat16), Cx,
+                preferred_element_type=jnp.float32,
+            )
+        )
+        off += b
+    pad = N - off
+    if pad > 0:
+        outs.append(jnp.zeros((pad, P, P), jnp.float32))
+    return jnp.concatenate(outs)
+
+
 def orientations_from_patches(patches: jax.Array) -> jax.Array:
     """Intensity-centroid angle per patch (same moment sums as IC_Angle)."""
     w10, w01 = _orientation_weights()

@@ -106,18 +106,30 @@ def slic_kmeans(
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     ones = jnp.ones((H, W), chans[0].dtype)
+    fields = jnp.stack((ys, xs) + chans + (ones,))          # (F, H, W)
+    F = fields.shape[0]
+    pad_h, pad_w = gh * cell - H, gw * cell - W
+    fields_p = jnp.pad(fields, ((0, 0), (0, pad_h), (0, pad_w)))
 
     def centers_from_offsets(best_o):
-        """Accumulate per-field cell sums routed by the chosen offset."""
-        fields = (ys, xs) + chans + (ones,)
-        accs = [jnp.zeros((gh, gw), chans[0].dtype) for _ in fields]
+        """Accumulate per-field cell sums routed by the chosen offset.
+
+        ONE fused masked block reduction over (offset, field) -- the
+        per-(offset, field) loop version emitted 9*F separate (H, W)
+        reductions per round, and at 6 rounds the op overhead alone
+        dominated the program on TPU."""
+        omask = (
+            best_o[None] == jnp.arange(9, dtype=jnp.int32)[:, None, None]
+        ).astype(chans[0].dtype)                            # (9, H, W)
+        omask_p = jnp.pad(omask, ((0, 0), (0, pad_h), (0, pad_w)))
+        prod = omask_p[:, None] * fields_p[None]            # (9, F, Hp, Wp)
+        bs = prod.reshape(9, F, gh, cell, gw, cell).sum(axis=(3, 5))
+        accs = [jnp.zeros((gh, gw), chans[0].dtype) for _ in range(F)]
         for o, (dy, dx) in enumerate(OFFSETS):
-            mask = (best_o == o).astype(chans[0].dtype)
-            for fi, f in enumerate(fields):
-                bs = _block_sum(f * mask, cell, gh, gw)
+            for fi in range(F):
                 # pixels in home cell (i, j) with offset o feed center
                 # (i+dy, j+dx): shift the block sums by (-dy, -dx)
-                accs[fi] = accs[fi] + _shift_grid(bs, -dy, -dx)
+                accs[fi] = accs[fi] + _shift_grid(bs[o, fi], -dy, -dx)
         cnt = jnp.maximum(accs[-1], 1.0)
         return accs[0] / cnt, accs[1] / cnt, tuple(a / cnt for a in accs[2:-1])
 
@@ -127,23 +139,24 @@ def slic_kmeans(
     inv_m2 = 1.0 / (compactness * compactness)
     inv_s2 = 1.0 / (cell * cell)
 
+    def _stack_shifted(grid):
+        """(gh, gw) -> (9, H, W): every offset's center map, upsampled."""
+        g9 = jnp.stack([_shift_grid(grid, dy, dx) for (dy, dx) in OFFSETS])
+        up = jnp.broadcast_to(
+            g9[:, :, None, :, None], (9, gh, cell, gw, cell)
+        ).reshape(9, gh * cell, gw * cell)
+        return up[:, :H, :W]
+
     best_o = jnp.full((H, W), 4, jnp.int32)
     for _ in range(slic_iters):
-        best_d = jnp.full((H, W), jnp.inf, chans[0].dtype)
-        bo = jnp.zeros((H, W), jnp.int32)
-        for o, (dy, dx) in enumerate(OFFSETS):
-            cy_map = _upsample(_shift_grid(c_y, dy, dx), cell, H, W)
-            cx_map = _upsample(_shift_grid(c_x, dy, dx), cell, H, W)
-            dyy = ys - cy_map
-            dxx = xs - cx_map
-            D = (dyy * dyy + dxx * dxx) * inv_s2
-            for ch, c_c in zip(chans, c_ch):
-                dii = ch - _upsample(_shift_grid(c_c, dy, dx), cell, H, W)
-                D = D + dii * dii * inv_m2
-            take = D < best_d
-            best_d = jnp.where(take, D, best_d)
-            bo = jnp.where(take, o, bo)
-        best_o = bo
+        # all 9 candidate distances as ONE stacked computation + argmin
+        dyy = ys[None] - _stack_shifted(c_y)
+        dxx = xs[None] - _stack_shifted(c_x)
+        D = (dyy * dyy + dxx * dxx) * inv_s2
+        for ch, c_c in zip(chans, c_ch):
+            dii = ch[None] - _stack_shifted(c_c)
+            D = D + dii * dii * inv_m2
+        best_o = jnp.argmin(D, axis=0).astype(jnp.int32)
         c_y, c_x, c_ch = centers_from_offsets(best_o)
 
     # depth means per superpixel with the final assignment

@@ -30,21 +30,28 @@ from .robust import chol_solve_unrolled, inv3x3
 _P = jax.lax.Precision.HIGHEST
 
 
-def _smallest_eigvec(A: jax.Array, iters: int = 4) -> jax.Array:
+def _smallest_eigvec(A: jax.Array, iters: int = 2) -> jax.Array:
     """Batched smallest-eigenvector of small SPD matrices by inverse
     iteration with the unrolled Cholesky solver.
 
     jnp.linalg.eigh on a (H, 12, 12) batch lowers to Jacobi sweeps on TPU
     (~10 ms for 512 matrices); the DLT only needs the near-null vector, and
-    (A + eps I)^-1 amplifies it by ~1/eps per step -- a couple of unrolled
-    solves converge to working precision.
+    (A + eps I)^-1 amplifies the null component by ~lambda_2/(eps*tr) >~ 1e6
+    per step -- two solves land at working precision. The matrix is
+    factorized ONCE (the n^3/3-op part of the unrolled Cholesky) and only
+    the n^2-op backsolve repeats per iteration: the factorization was ~60%
+    of this whole solver's op count, and on TPU these tiny-batch unrolled
+    kernels are op-count-bound, not FLOP-bound.
     """
+    from .robust import chol_factor_unrolled, chol_backsolve_unrolled
+
     n = A.shape[-1]
     tr = jnp.einsum("...ii->...", A)
     Ad = A + (1e-9 * tr + 1e-12)[..., None, None] * jnp.eye(n, dtype=A.dtype)
+    L = chol_factor_unrolled(Ad)
     x = jnp.ones(A.shape[:-1], A.dtype)
     for _ in range(iters):
-        x = chol_solve_unrolled(Ad, x)
+        x = chol_backsolve_unrolled(L, x)
         x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-30)
     return x
 

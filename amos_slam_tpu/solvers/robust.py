@@ -52,15 +52,13 @@ def weighted_normal_eq(J: jax.Array, r: jax.Array, w: jax.Array):
     return H, b
 
 
-def chol_solve_unrolled(Hd: jax.Array, b: jax.Array) -> jax.Array:
-    """Batched SPD solve with a fully unrolled Cholesky (static small n).
+def chol_factor_unrolled(Hd: jax.Array):
+    """Batched unrolled Cholesky factor of a small SPD matrix.
 
-    On TPU, lapack-style cho_factor on a single small matrix lowers to a
-    sequential blocked loop with hundreds of microseconds of fixed latency;
-    called inside every GN iteration of the pose solvers that adds up to
-    milliseconds per frame. Unrolled, the ~n^3/3 scalar operations fuse into
-    the surrounding program as straight-line elementwise code. Broadcasts
-    over any leading batch dims.
+    Returns the lower factor as a list-of-lists of (...,) scalars, to be
+    consumed by :func:`chol_backsolve_unrolled`. Splitting factor from solve
+    matters where one matrix is solved against several right-hand sides
+    (inverse iteration): the factorization is the n^3/3-op part.
     """
     n = Hd.shape[-1]
     L = [[None] * n for _ in range(n)]
@@ -76,6 +74,12 @@ def chol_solve_unrolled(Hd: jax.Array, b: jax.Array) -> jax.Array:
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             L[i][j] = s * inv_d
+    return L
+
+
+def chol_backsolve_unrolled(L, b: jax.Array) -> jax.Array:
+    """Solve L L^T x = b given an unrolled factor (n^2-op part)."""
+    n = len(L)
     y = [None] * n
     for i in range(n):
         s = b[..., i]
@@ -89,6 +93,19 @@ def chol_solve_unrolled(Hd: jax.Array, b: jax.Array) -> jax.Array:
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
     return jnp.stack(x, axis=-1)
+
+
+def chol_solve_unrolled(Hd: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched SPD solve with a fully unrolled Cholesky (static small n).
+
+    On TPU, lapack-style cho_factor on a single small matrix lowers to a
+    sequential blocked loop with hundreds of microseconds of fixed latency;
+    called inside every GN iteration of the pose solvers that adds up to
+    milliseconds per frame. Unrolled, the ~n^3/3 scalar operations fuse into
+    the surrounding program as straight-line elementwise code. Broadcasts
+    over any leading batch dims.
+    """
+    return chol_backsolve_unrolled(chol_factor_unrolled(Hd), b)
 
 
 def inv3x3(A: jax.Array, eps: float = 1e-12) -> jax.Array:

@@ -142,3 +142,38 @@ def test_patch_descriptor_parity_bounds_bit_flips(texture):
         d_fast = np.asarray(od.descriptors_from_patches(patches, ang, M))
         flips = np.abs(d_exact - d_fast).sum(axis=1)
         assert flips.mean() < max_flip, (flips.mean(), max_flip)
+
+
+def test_gather_patches_dense_parity(rng):
+    """The TPU one-hot-matmul patch sampler must reproduce the block-gather
+    sampler to bf16 intensity quantization (the dense path's only loss)."""
+    import amos_slam_tpu.ops.orb_descriptor as od
+
+    L, H, W = 3, 96, 128
+    sizes = [(96, 128), (64, 96), (48, 64)]
+    budgets = [6, 4, 2]
+    pyr = jnp.zeros((L, H, W), jnp.float32)
+    for lvl, (h, w) in enumerate(sizes):
+        pyr = pyr.at[lvl, :h, :w].set(
+            jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+        )
+    yx_parts, lv_parts = [], []
+    for lvl, ((h, w), b) in enumerate(zip(sizes, budgets)):
+        m = od.PATCH_RAD + 1
+        yx_parts.append(
+            np.stack([rng.uniform(m, h - m, b), rng.uniform(m, w - m, b)], -1)
+        )
+        lv_parts.append(np.full(b, lvl))
+    yx = jnp.asarray(np.concatenate(yx_parts).astype(np.float32))
+    level = jnp.asarray(np.concatenate(lv_parts).astype(np.int32))
+    # pad rows at the end, like detect_keypoints
+    yx = jnp.concatenate([yx, jnp.zeros((3, 2), jnp.float32)])
+    level = jnp.concatenate([level, jnp.zeros(3, jnp.int32)])
+
+    ref = np.asarray(od.gather_patches(pyr, level, yx))
+    dense = np.asarray(od.gather_patches_dense(pyr, sizes, budgets, yx))
+    n = sum(budgets)
+    assert dense.shape == ref.shape
+    # bf16 quantization of [0, 255] intensities: absolute step <= 1
+    assert np.abs(dense[:n] - ref[:n]).max() <= 1.0
+    assert (dense[n:] == 0).all()
