@@ -155,7 +155,7 @@ class ORBPipeline:
         # is sub-degree, validated by the matching/ATE suites. On TPU the
         # sampling runs as per-level one-hot MXU matmuls (the block gather
         # is DMA-latency-bound, ~1.5 ms of the frame program).
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and not orb_ops.FORCE_BLOCK_GATHER:
             patches = orb_ops.gather_patches_dense(
                 blurred, self.sizes, self.budgets, yx
             )

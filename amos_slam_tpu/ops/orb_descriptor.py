@@ -169,6 +169,9 @@ def compute_descriptors(
 # Net: orientation + descriptors in ~3.5 ms instead of ~8 ms.
 # ---------------------------------------------------------------------------
 
+FORCE_BLOCK_GATHER = False   # debug escape hatch: disable the dense TPU
+                             # patch sampler (see gather_patches_dense)
+
 PATCH_RAD = 18        # covers rotated pattern offsets: |round(R(theta) p)| <= 18
 PATCH_SIZE = 37       # 2*PATCH_RAD+1; with the 19 px detection border, whole
                       # patches never clip against the image, so no center shift

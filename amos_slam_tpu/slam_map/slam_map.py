@@ -299,17 +299,27 @@ def _remove_kf_kernel(a: MapArrays, kf: jax.Array) -> MapArrays:
 
 
 @jax.jit
-def _gather_ba_inputs(a: MapArrays, slots_j: jax.Array, gather_pts: jax.Array):
+def _gather_ba_inputs(
+    a: MapArrays, slots_j: jax.Array, gather_pts: jax.Array, perm_j: jax.Array
+):
     """One program for all local-BA input gathers (8 eager gathers = 8
-    dispatch round trips otherwise)."""
+    dispatch round trips otherwise).
+
+    perm_j (Kb, Ob): per-keyframe keypoint-column permutation packing the
+    landmark-bound observations first (host-computed). Every per-iteration
+    cost of the solver scales with the observation width, and the bound
+    set is typically under half of max_kpts; columns beyond the packed
+    prefix all have obs_valid=False, so truncation to Ob is lossless (the
+    host picks Ob large enough for the densest keyframe)."""
+    kf = slots_j[:, None]
     return (
         a.kf_pose[slots_j],
         a.pt_pos[gather_pts],
         a.pt_valid[gather_pts],
-        a.kf_xy[slots_j],
-        a.kf_ur[slots_j],
-        a.kf_inv_sigma2[slots_j],
-        a.kf_kp_valid[slots_j],
+        a.kf_xy[kf, perm_j],
+        a.kf_ur[kf, perm_j],
+        a.kf_inv_sigma2[kf, perm_j],
+        a.kf_kp_valid[kf, perm_j],
     )
 
 
@@ -320,8 +330,9 @@ def _local_ba_fused(
     slots_j: jax.Array,      # (Kb,) keyframe slots (padded)
     slot_valid: jax.Array,   # (Kb,) bool
     free_p: jax.Array,       # (Kb,) bool (already masked by slot_valid)
-    obs_local: jax.Array,    # (Kb, N) local landmark index per kp (-1)
+    obs_local: jax.Array,    # (Kb, Ob) local landmark index per packed kp
     pt_ids_p: jax.Array,     # (Vp,) landmark ids (-1 pad)
+    perm_j: jax.Array,       # (Kb, Ob) packed keypoint-column permutation
 ) -> MapArrays:
     """Local BA as ONE device program: input gather -> Schur/LM solve ->
     result scatter. The split form (gather, solve, apply = 3 dispatches)
@@ -330,7 +341,7 @@ def _local_ba_fused(
     (BASELINE local_ba_solves_per_sec)."""
     gather_pts = jnp.maximum(pt_ids_p, 0)
     kf_pose, pt_pos, pt_valid, kf_xy, kf_ur, kf_is2, kf_kpv = (
-        _gather_ba_inputs(a, slots_j, gather_pts)
+        _gather_ba_inputs(a, slots_j, gather_pts, perm_j)
     )
     prob = BAProblem(
         kf_pose=kf_pose,
@@ -982,7 +993,17 @@ class SlamMap:
         Vp: int,
     ):
         """Host-side padding/remapping shared by local and global BA:
-        returns (slots_p, slot_valid, free_p, obs_local, pt_ids_p) numpy."""
+        returns (slots_p, slot_valid, free_p, obs_local, pt_ids_p, perm)
+        numpy.
+
+        ``perm`` (Kb, Ob) packs each keyframe's landmark-bound keypoint
+        columns first and truncates the observation width to the smallest
+        power-of-two-ish bucket that fits the densest keyframe (N/2 covers
+        the common case: ~400-600 bound observations out of 1024 keypoint
+        slots). Every per-iteration cost of the Schur solver scales with
+        this width, and the dropped columns are exactly the obs_valid=False
+        padding -- lossless, host-side, and bucketed so at most two
+        compiled solver variants exist."""
         pad = Kb - len(slots)
         slots_p = np.concatenate([slots, np.zeros(pad, np.int64)])
         slot_valid = np.concatenate(
@@ -997,9 +1018,17 @@ class SlamMap:
         obs_local[self.kf_obs_np[slots_p] < 0] = -1
         obs_local[~slot_valid] = -1
 
+        # pack bound columns first; bucket the static width
+        bound = obs_local >= 0
+        perm = np.argsort(~bound, axis=1, kind="stable")
+        densest = int(bound.sum(axis=1).max()) if len(slots) else 0
+        Ob = self.N // 2 if densest <= self.N // 2 else self.N
+        perm = perm[:, :Ob]
+        obs_local = np.take_along_axis(obs_local, perm, axis=1)
+
         pt_pad = Vp - len(pt_ids)
         pt_ids_p = np.concatenate([pt_ids, np.full(pt_pad, -1, np.int64)])
-        return slots_p, slot_valid, free_p, obs_local, pt_ids_p
+        return slots_p, slot_valid, free_p, obs_local, pt_ids_p, perm
 
     def build_ba_problem(
         self,
@@ -1012,14 +1041,17 @@ class SlamMap:
         """Assemble a padded BAProblem over the given keyframes/landmarks
         (shared by local and joint-global BA). Returns
         (problem, slots_j, free_p, pt_ids_p)."""
-        slots_p, slot_valid, free_p, obs_local, pt_ids_p = (
+        slots_p, slot_valid, free_p, obs_local, pt_ids_p, perm = (
             self._ba_host_prep(slots, free, pt_ids, Kb, Vp)
         )
         gather_pts = jnp.asarray(np.maximum(pt_ids_p, 0).astype(np.int32))
 
         slots_j = jnp.asarray(slots_p.astype(np.int32))
         kf_pose, pt_pos, pt_valid, kf_xy, kf_ur, kf_is2, kf_kpv = (
-            _gather_ba_inputs(self.arrays, slots_j, gather_pts)
+            _gather_ba_inputs(
+                self.arrays, slots_j, gather_pts,
+                jnp.asarray(perm.astype(np.int32)),
+            )
         )
         obs_ok = jnp.asarray(obs_local >= 0)
         prob = BAProblem(
@@ -1081,7 +1113,7 @@ class SlamMap:
         if len(frontier) == 0:
             free[0] = False
 
-        slots_p, slot_valid, free_p, obs_local, pt_ids_p = (
+        slots_p, slot_valid, free_p, obs_local, pt_ids_p, perm = (
             self._ba_host_prep(slots, free, pt_ids, Lw + Fw, Vba)
         )
         self.version += 1
@@ -1093,6 +1125,7 @@ class SlamMap:
             jnp.asarray(free_p & slot_valid),
             jnp.asarray(obs_local.astype(np.int32)),
             jnp.asarray(pt_ids_p.astype(np.int32)),
+            jnp.asarray(perm.astype(np.int32)),
         )
 
     # -- maintenance -----------------------------------------------------------
