@@ -761,30 +761,34 @@ class SlamMap:
             midx = packed[0, di].astype(np.int64)
             mval = packed[1, di] > 0
             nb_obs = self.kf_obs_np[nb]
-            gained = []
-            for i in np.where(mval & (my_obs >= 0))[0]:
-                j = midx[i]
-                mine_id = my_obs[i]
-                if not self.pt_alive[mine_id]:
-                    continue   # culled between dispatch and (lagged) resolve
-                theirs_id = nb_obs[j]
-                if theirs_id >= 0 and not self.pt_alive[theirs_id]:
-                    continue   # ditto: never merge toward a dead landmark
-                if theirs_id < 0:
-                    # the neighbour keypoint gains an observation of mine
-                    self.kf_obs_np[nb][j] = mine_id
-                    self.pt_obs_count[mine_id] += 1
-                    gained.append((j, mine_id))
-                elif theirs_id != mine_id:
-                    a_id, b_id = int(mine_id), int(theirs_id)
-                    keep, lose = (
-                        (a_id, b_id)
-                        if self.pt_obs_count[a_id] >= self.pt_obs_count[b_id]
-                        else (b_id, a_id)
-                    )
-                    if keep != lose:
-                        merges[lose] = keep
-                        fused += 1
+            # vectorized row classification (the python per-row loop cost
+            # ~20 ms per fusion pass). Mutual matching makes midx values
+            # unique over valid rows, so the scatter below is conflict-free.
+            rows = mval & (my_obs >= 0)
+            mine = np.where(rows, my_obs, 0)
+            # culled between dispatch and (lagged) resolve: skip; likewise
+            # never merge toward a dead landmark
+            ok = rows & self.pt_alive[mine]
+            j_all = np.maximum(midx, 0)
+            theirs = nb_obs[j_all]
+            ok &= ~((theirs >= 0) & ~self.pt_alive[np.maximum(theirs, 0)])
+            gain = ok & (theirs < 0)
+            gj = j_all[gain]
+            gid = my_obs[gain]
+            self.kf_obs_np[nb][gj] = gid
+            np.add.at(self.pt_obs_count, gid, 1)
+            gained = list(zip(gj.tolist(), gid.tolist()))
+            mg = np.where(ok & (theirs >= 0) & (theirs != my_obs))[0]
+            for i in mg.tolist():
+                a_id, b_id = int(my_obs[i]), int(theirs[i])
+                keep, lose = (
+                    (a_id, b_id)
+                    if self.pt_obs_count[a_id] >= self.pt_obs_count[b_id]
+                    else (b_id, a_id)
+                )
+                if keep != lose:
+                    merges[lose] = keep
+                    fused += 1
             if gained:
                 # fixed pad: variable index shapes would recompile the
                 # scatter per distinct count (minutes over a remote tunnel)
@@ -856,20 +860,32 @@ class SlamMap:
         pad = self.V - P
         ids_p = np.concatenate([ids, np.full(pad, -1, np.int64)])
         # per landmark, gather up to 8 observing (kf, kp) pairs from the
-        # mirror, then one device kernel does the median-Hamming vote
+        # mirror, then one device kernel does the median-Hamming vote.
+        # Vectorized (the python dict loop here cost ~25 ms per keyframe):
+        # flatten the window's observation table, map landmark ids to local
+        # rows through an M-sized LUT, then rank within each row by a
+        # stable sort -- same (kf-order, kp-order) fill as the loop form.
         OBS = 8
-        kf_of = np.full((self.V, OBS), 0, np.int64)
-        kp_of = np.full((self.V, OBS), 0, np.int64)
+        kf_of = np.zeros((self.V, OBS), np.int64)
+        kp_of = np.zeros((self.V, OBS), np.int64)
+        obs = self.kf_obs_np[kfs]                       # (Wk, N)
+        kfi = np.broadcast_to(kfs[:, None], obs.shape)
+        kpi = np.broadcast_to(np.arange(self.N)[None, :], obs.shape)
+        sel = obs >= 0
+        lut = np.full(self.M, -1, np.int64)
+        lut[ids] = np.arange(P)
+        li = lut[obs[sel]]
+        ok = li >= 0
+        li, kfo, kpo = li[ok], kfi[sel][ok], kpi[sel][ok]
+        order = np.argsort(li, kind="stable")
+        li, kfo, kpo = li[order], kfo[order], kpo[order]
+        first = np.searchsorted(li, np.arange(P), side="left")
+        rank = np.arange(len(li)) - first[li]
+        keep = rank < OBS
+        kf_of[li[keep], rank[keep]] = kfo[keep]
+        kp_of[li[keep], rank[keep]] = kpo[keep]
         cnt = np.zeros(self.V, np.int64)
-        remap = {int(p): i for i, p in enumerate(ids)}
-        for kf in kfs.tolist():
-            obs = self.kf_obs_np[kf]
-            for kp_i in np.where(obs >= 0)[0]:
-                li = remap.get(int(obs[kp_i]))
-                if li is not None and cnt[li] < OBS:
-                    kf_of[li, cnt[li]] = kf
-                    kp_of[li, cnt[li]] = kp_i
-                    cnt[li] += 1
+        cnt[:P] = np.minimum(np.bincount(li, minlength=P), OBS)
         self.arrays = refresh_landmarks_kernel(
             self.arrays,
             jnp.asarray(ids_p.astype(np.int32)),
