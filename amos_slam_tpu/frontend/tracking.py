@@ -37,7 +37,10 @@ class TrackStepResult(NamedTuple):
     match_idx: jax.Array       # (K,) current-frame kp index per last-frame row
 
 
-@functools.partial(jax.jit, static_argnames=("max_dist", "opt_rounds", "opt_iters"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_dist", "opt_rounds", "opt_iters", "two_pass"),
+)
 def track_motion_model(
     cam: Camera,
     cur: FrameFeatures,
@@ -50,6 +53,7 @@ def track_motion_model(
     opt_iters: int = 4,
     pts_w: Optional[jax.Array] = None,
     has_point: Optional[jax.Array] = None,
+    two_pass: bool = True,
 ) -> TrackStepResult:
     """Match last frame's depth-backed keypoints into the current frame by
     projection window, then run motion-only BA.
@@ -122,14 +126,23 @@ def track_motion_model(
     # (each is ~30 small fused ops; the tail iterations move the pose by
     # far less than the matcher's pixel quantization).
     res1, opt1 = match_and_optimize(T_pred, radius, opt_rounds)
-    res2, opt2 = match_and_optimize(opt1.Tcw, jnp.minimum(radius * 0.5, 5.0), 1)
-
-    # Fall back to pass 1 if the tight re-match collapsed (e.g. bad pass-1
-    # pose throwing every window off).
-    use2 = opt2.num_inliers >= jnp.minimum(opt1.num_inliers, 20)
-    res, opt = jax.tree.map(
-        lambda a, b: jnp.where(use2, a, b), (res2, opt2), (res1, opt1)
-    )
+    if two_pass:
+        res2, opt2 = match_and_optimize(
+            opt1.Tcw, jnp.minimum(radius * 0.5, 5.0), 1
+        )
+        # Fall back to pass 1 if the tight re-match collapsed (e.g. bad
+        # pass-1 pose throwing every window off).
+        use2 = opt2.num_inliers >= jnp.minimum(opt1.num_inliers, 20)
+        res, opt = jax.tree.map(
+            lambda a, b: jnp.where(use2, a, b), (res2, opt2), (res1, opt1)
+        )
+    else:
+        # single-pass mode for the fused frame step: the local-map track
+        # that follows re-matches from this pose and re-optimizes, making
+        # it the second pass (the reference's TrackLocalMap after
+        # TrackWithMotionModel, src/Tracking.cc:688) -- the tight re-match
+        # here would duplicate that work in the latency path.
+        res, opt = res1, opt1
     return TrackStepResult(
         Tcw=opt.Tcw,
         num_matches=jnp.sum(res.valid.astype(jnp.int32)),
@@ -145,12 +158,20 @@ class FusedStepResult(NamedTuple):
     Tcw: jax.Array              # () selected pose
     velocity: jax.Array         # updated constant-velocity model
     counts: jax.Array           # (2,) int32 [mm_inliers, lm_inliers]
-    sup: jax.Array              # (2+3N,) int32 packed supervision vector:
-                                # [counts, kp_point_id, kp_valid, depth>0] --
-                                # everything host supervision (state machine
-                                # + keyframe insertion) needs, in ONE array
-                                # so the reader thread fetches it in a single
-                                # tunnel round trip per frame
+    sup: jax.Array              # (3,) int32 [mm_inliers, lm_inliers,
+                                # n_close]: the ONLY per-frame device->host
+                                # read. Everything the keyframe DECISION
+                                # needs is these counts; the heavy insertion
+                                # payload stays on device (sup_heavy) and is
+                                # fetched lazily for the few % of frames
+                                # that actually become keyframes. (The old
+                                # (2+3N,) packed vector made the reader's
+                                # bulk fetch bandwidth-bound on the tunnel:
+                                # ~100 KB/frame = 340 ms for a 96-frame
+                                # flush, measured round 4.)
+    sup_heavy: jax.Array        # (3N,) int32 [kp_point_id, kp_valid,
+                                # depth>0] -- keyframe insertion payload,
+                                # fetched only on insertion
     stats_acc: jax.Array        # (V, 2) int32 accumulated [visible, found]
                                 # per local-view row, carried frame to frame
                                 # in the device state chain and applied to
@@ -158,13 +179,20 @@ class FusedStepResult(NamedTuple):
                                 # per-frame bump_stats dispatch)
 
 
-def _pack_supervision(counts, lm, feats) -> jax.Array:
-    return jnp.concatenate([
+def _pack_supervision(counts, lm, feats):
+    """-> ((3,) counts, (3N,) heavy payload), both int32."""
+    valid = feats.valid
+    close = valid & (feats.depth > 0)
+    sup = jnp.concatenate([
         counts.astype(jnp.int32),
+        jnp.sum(close.astype(jnp.int32))[None],
+    ])
+    heavy = jnp.concatenate([
         lm.kp_point_id.astype(jnp.int32),
-        feats.valid.astype(jnp.int32),
+        valid.astype(jnp.int32),
         (feats.depth > 0).astype(jnp.int32),
     ])
+    return sup, heavy
 
 
 def _accumulate_stats(stats_acc, lm) -> jax.Array:
@@ -188,7 +216,7 @@ def _frame_step_core(
     kp, _, _, patches = pipe.detect_keypoints(image)
     feats = pipe.describe(kp, patches, depth, suppress_mask)
     mm = track_motion_model(
-        pipe.cam, feats, last, last_Tcw, T_pred, mm_radius
+        pipe.cam, feats, last, last_Tcw, T_pred, mm_radius, two_pass=False
     )
     ok_mm = mm.num_inliers >= 10
     T0 = jnp.where(ok_mm, mm.Tcw, last_Tcw)
@@ -207,9 +235,10 @@ def _frame_step_core(
     )
     Tcw = jnp.where(tracked, Tcw, last_Tcw)
     counts = jnp.stack([mm.num_inliers, lm.num_inliers])
+    sup, sup_heavy = _pack_supervision(counts, lm, feats)
     return FusedStepResult(
         feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts,
-        sup=_pack_supervision(counts, lm, feats),
+        sup=sup, sup_heavy=sup_heavy,
         stats_acc=_accumulate_stats(stats_acc, lm),
     )
 
@@ -252,7 +281,10 @@ def fused_frame_step(
 class ChunkYs(NamedTuple):
     """Per-frame outputs of a chunk scan, stacked along a leading W axis."""
     Tcw: jax.Array             # (W, 4, 4)
-    sup: jax.Array             # (W, 2+3N) packed supervision rows
+    sup: jax.Array             # (W, 3) per-frame count rows (the only
+                               # per-chunk host read)
+    sup_heavy: jax.Array       # (W, 3N) insertion payload rows, fetched
+                               # lazily per keyframe
     feats: FrameFeatures       # (W, ...) -- sliced lazily only when a
                                # keyframe decision actually needs a row
 
@@ -300,7 +332,8 @@ def fused_frame_scan(
             pipe, g, d, feats, Tcw, vel, view,
             mm_radius, map_radius, min_lm, None, acc,
         )
-        ys = ChunkYs(Tcw=res.Tcw, sup=res.sup, feats=res.feats)
+        ys = ChunkYs(Tcw=res.Tcw, sup=res.sup,
+                     sup_heavy=res.sup_heavy, feats=res.feats)
         return (res.feats, res.Tcw, res.velocity, res.stats_acc), ys
 
     carry, ys = jax.lax.scan(
@@ -392,7 +425,8 @@ def make_dyn_chunk_fn(pipe, dcfg, min_lm: int, has_seg: bool, use_rgb: bool):
                 pipe, g, d, feats, Tcw, vel, view,
                 mm_radius, map_radius, min_lm, dyn.suppress_mask, acc,
             )
-            ys = ChunkYs(Tcw=res.Tcw, sup=res.sup, feats=res.feats)
+            ys = ChunkYs(Tcw=res.Tcw, sup=res.sup,
+                     sup_heavy=res.sup_heavy, feats=res.feats)
             return (
                 res.feats, res.Tcw, res.velocity, dyn.gate_state,
                 res.stats_acc,
@@ -471,9 +505,10 @@ def fused_stereo_step(
     )
     Tcw = jnp.where(tracked, Tcw, last_Tcw)
     counts = jnp.stack([mm.num_inliers, lm.num_inliers])
+    sup, sup_heavy = _pack_supervision(counts, lm, feats)
     return FusedStepResult(
         feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts,
-        sup=_pack_supervision(counts, lm, feats),
+        sup=sup, sup_heavy=sup_heavy,
         stats_acc=_accumulate_stats(stats_acc, lm),
     )
 
@@ -538,9 +573,10 @@ def fused_mono_step(
     )
     Tcw = jnp.where(tracked, Tcw, last_Tcw)
     counts = jnp.stack([mm.num_inliers, lm.num_inliers])
+    sup, sup_heavy = _pack_supervision(counts, lm, feats)
     return FusedStepResult(
         feats=feats, lm=lm, Tcw=Tcw, velocity=vel_new, counts=counts,
-        sup=_pack_supervision(counts, lm, feats),
+        sup=sup, sup_heavy=sup_heavy,
         stats_acc=_accumulate_stats(stats_acc, lm),
     )
 

@@ -247,8 +247,14 @@ class LoopCloser:
         candidates -> descriptor matching -> PnP-RANSAC on the matched
         keypoints' LANDMARK world positions (mono-capable, like the
         reference's MapPoint-based PnPsolver feed, src/Tracking.cc:2634)
-        with depth backprojection as the RGB-D fallback -> accept on inlier
-        count. Returns (Tcw, num_inliers) or None.
+        with depth backprojection as the RGB-D fallback. A sub-gate PnP
+        pose is NOT discarded: the reference's second stage
+        (src/Tracking.cc:2715-2788) re-searches by projection from the
+        rough pose (th=10 px, ORBdist=100) against the candidate's local
+        landmark neighbourhood and re-optimizes, accepting at >= 50
+        inliers -- here that is one track_local_map call seeded with the
+        PnP pose over the candidate's local view. Returns
+        (Tcw, num_inliers) or None.
         """
         if not self.db.kf_bow:
             return None
@@ -283,11 +289,36 @@ class LoopCloser:
             pnp = ransac_pnp(
                 self.cam, pts_w, feats.xy_un, pair_ok,
                 jax.random.PRNGKey(cand + 99), inlier_th_px=4.0,
-                min_inliers=20,
+                min_inliers=10,
             )
+            if not bool(pnp.ok):
+                continue
             n = int(pnp.num_inliers)
-            if bool(pnp.ok) and (best is None or n > best[1]):
-                best = (np.asarray(pnp.Tcw), n)
+            Tcw = pnp.Tcw
+            # a solid first pass stands on its own; a marginal one ([10, 50)
+            # inliers) is only usable if the second stage confirms it
+            ok_cand = n >= 20
+            if n < 50:
+                # second-stage rescue (src/Tracking.cc:2715-2788): guided
+                # projection search from the rough PnP pose over the
+                # candidate keyframe's covisible landmark neighbourhood
+                # (th=10 px window, ORBdist=100 loose descriptor gate --
+                # track_local_map's max_dist default), then re-optimize.
+                # Accept the rescued pose ONLY at the reference's >= 50
+                # gate: a wide search seeded from a garbage pose can
+                # fabricate a few dozen aliased "inliers", so anything
+                # below the gate keeps (or drops) the first-pass result.
+                from ..slam_map.slam_map import track_local_map
+
+                view = self.map.local_view(cand)
+                lm = track_local_map(
+                    self.cam, feats, view, Tcw, jnp.asarray(10.0)
+                )
+                n2 = int(lm.num_inliers)
+                if n2 >= 50 and n2 > n:
+                    n, Tcw, ok_cand = n2, lm.Tcw, True
+            if ok_cand and (best is None or n > best[1]):
+                best = (np.asarray(Tcw), n)
         return best
 
     # ------------------------------------------------------------------

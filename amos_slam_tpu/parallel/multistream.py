@@ -78,7 +78,12 @@ def multistream_step(
     min_lm: int = 30,
 ):
     """One fused tracking step for every stream: the 'training step' of
-    this framework. Fully jittable; shard the leading axis over the mesh."""
+    this framework. Fully jittable; shard the leading axis over the mesh.
+
+    Returns (new_state, sup (S, 3) int32 count rows, sup_heavy (S, 3N)
+    keyframe-insertion payload rows). Only `sup` needs a host read per
+    step; heavy rows are sliced lazily for the streams that actually
+    insert a keyframe (see MultiStreamSLAM)."""
     res = jax.vmap(
         lambda im, d, last, T, vel, vw: fused_frame_step(
             pipeline, im, d, last, T, vel, vw, mm_radius, map_radius,
@@ -88,7 +93,7 @@ def multistream_step(
     new_state = StreamState(
         feats=res.feats, Tcw=res.Tcw, velocity=res.velocity
     )
-    return new_state, res.counts
+    return new_state, res.sup, res.sup_heavy
 
 
 def shard_step(pipeline: ORBPipeline, mesh: Mesh, axis: str = "stream",
@@ -109,6 +114,150 @@ def shard_step(pipeline: ORBPipeline, mesh: Mesh, axis: str = "stream",
     return jax.jit(
         step,
         in_shardings=(batch, batch, batch, batch, repl, repl),
-        out_shardings=(batch, batch),
+        out_shardings=(batch, batch, batch),
         donate_argnums=(0,),
     )
+
+
+class MultiStreamSLAM:
+    """S concurrent RGB-D SLAM streams with LIVE per-stream maps.
+
+    The device half is ONE sharded program per step (all S fused frame
+    steps batched over the mesh's stream axis). The host half mirrors
+    System's keyframe supervision per stream: keyframe decisions come from
+    the (S, 3) count rows (one small read per step), and for the streams
+    that trigger insertion the (3N,) payload row is fetched, the stream's
+    own SlamMap inserts the keyframe (landmark creation from close depth,
+    covisibility, spanning tree -- slam_map.insert_keyframe), new points
+    triangulate, local BA runs, and the stream's LocalView refreshes --
+    the reference's LocalMapping cycle (src/LocalMapping.cc:73-175) per
+    stream. Streams therefore track against growing maps: 8-stream SLAM,
+    not 8-stream odometry.
+    """
+
+    def __init__(self, cfg, S: int, mesh: Mesh = None, run_ba: bool = True):
+        from ..slam_map.slam_map import SlamMap
+
+        self.cfg = cfg
+        self.S = S
+        self.run_ba = run_ba
+        self.pipeline = ORBPipeline(cfg.orb, cfg.camera)
+        self.mesh = mesh if mesh is not None else make_stream_mesh(
+            jax.devices()[:1]
+        )
+        self.maps = [SlamMap(cfg, self.pipeline.cam) for _ in range(S)]
+        self.ref_kf = [0] * S
+        self.last_kf_frame = [-999] * S
+        self.last_kf_inliers = [0] * S
+        self.frame = -1
+        self.state: StreamState = None
+        self.views: LocalView = None
+        tc = cfg.tracking
+        self._r_mm = jnp.asarray(tc.match_radius_motion)
+        self._r_map = jnp.asarray(tc.match_radius_map * 2.0)
+        self._batch = NamedSharding(self.mesh, P("stream"))
+        self._step = shard_step(
+            self.pipeline, self.mesh, min_lm=tc.min_inliers_local_map
+        )
+
+    # -- lifecycle -----------------------------------------------------
+    def initialize(self, images, depths):
+        """Bootstrap every stream: first frame becomes its keyframe 0 with
+        landmarks from valid close depth (StereoInitialization semantics,
+        src/Tracking.cc:1343, per stream)."""
+        imgs = jax.device_put(jnp.asarray(images), self._batch)
+        deps = jax.device_put(jnp.asarray(depths), self._batch)
+        self.state = jax.device_put(
+            init_state(self.pipeline, imgs, deps), self._batch
+        )
+        N = self.cfg.orb.max_kpts
+        none = np.full(N, -1, np.int64)
+        for s in range(self.S):
+            feats_s = jax.tree.map(lambda x: x[s], self.state.feats)
+            self.ref_kf[s] = self.maps[s].insert_keyframe(
+                feats_s, jnp.eye(4), none, 0
+            )
+            self.last_kf_frame[s] = 0
+            self.last_kf_inliers[s] = 1
+        self.frame = 0
+        self._refresh_views()
+
+    def _refresh_views(self):
+        views = [
+            self.maps[s].local_view(self.ref_kf[s]) for s in range(self.S)
+        ]
+        # stream-axis placement: each stream's view lives on its shard
+        self.views = jax.device_put(
+            jax.tree.map(lambda *xs: jnp.stack(xs), *views), self._batch
+        )
+
+    # -- per-frame step ------------------------------------------------
+    def step(self, images, depths):
+        """Track one frame on every stream; returns ((S, 4, 4) poses,
+        (S, 3) count rows)."""
+        self.frame += 1
+        st, sup, heavy = self._step(
+            self.state,
+            jax.device_put(jnp.asarray(images), self._batch),
+            jax.device_put(jnp.asarray(depths), self._batch),
+            self.views, self._r_mm, self._r_map,
+        )
+        self.state = st
+        sup_np = np.asarray(sup)
+        tc = self.cfg.tracking
+        need = []
+        for s in range(self.S):
+            n_mm, n_lm, n_close = (int(v) for v in sup_np[s])
+            gap = self.frame - self.last_kf_frame[s]
+            if n_lm >= tc.min_inliers_local_map:
+                if (
+                    gap >= 30
+                    or (gap >= 3
+                        and n_lm < 0.75 * max(self.last_kf_inliers[s], 1))
+                    or n_lm < 50
+                ):
+                    need.append((s, n_lm, True))
+            elif n_mm >= 10 and gap >= 3 and n_close >= 100:
+                need.append((s, max(n_mm, 1), False))
+        if need:
+            self._insert_keyframes(need, heavy)
+        return self.state.Tcw, sup_np
+
+    def _insert_keyframes(self, need, heavy):
+        N = self.cfg.orb.max_kpts
+        rows = jax.device_get([heavy[s] for (s, _, _) in need])
+        for (s, inl, matched), hv in zip(need, rows):
+            hv = np.asarray(hv)
+            feats_s = jax.tree.map(lambda x: x[s], self.state.feats)
+            kp = hv[:N].astype(np.int64) if matched else np.full(
+                N, -1, np.int64
+            )
+            valid = hv[N : 2 * N] > 0
+            close = hv[2 * N :] > 0
+            m = self.maps[s]
+            if m.n_kfs >= m.K - 2:
+                if m.kf_alive[: m.n_kfs].all():
+                    m.grow_keyframes()
+                else:
+                    lut = m.compact_keyframes()
+                    if lut is not None:
+                        self.ref_kf[s] = (
+                            int(lut[self.ref_kf[s]])
+                            if lut[self.ref_kf[s]] >= 0 else m.n_kfs - 1
+                        )
+            self.ref_kf[s] = m.insert_keyframe(
+                feats_s, self.state.Tcw[s], kp, self.frame,
+                valid_close=(valid, close),
+            )
+            self.last_kf_frame[s] = self.frame
+            self.last_kf_inliers[s] = inl
+            # keyframe-rate maintenance for this stream: triangulate new
+            # landmarks with covisible neighbours, then local BA
+            disp = m.create_new_points_dispatch(self.ref_kf[s])
+            if disp is not None:
+                m.create_new_points_resolve(
+                    self.ref_kf[s], disp, np.asarray(disp["packed"])
+                )
+            if self.run_ba:
+                m.run_local_ba(self.ref_kf[s])
+        self._refresh_views()

@@ -398,6 +398,21 @@ class SlamMap:
         # all future essential-graph optimizations, and their endpoint
         # keyframes are protected from culling (the reference's mbNotErase)
         self.loop_edges: list = []
+        # Stable keyframe UIDs for trajectory replay (the reference keys
+        # mlpReferences by KeyFrame*, src/Tracking.cc:806-815; slots here
+        # are reused after compaction, so replay bookkeeping is keyed by a
+        # monotonically increasing uid instead):
+        #   uid_insert_pose[uid] = Tcw at insertion time (device (4,4)) --
+        #     the pose against which each frame's relative pose Tcr is
+        #     recomposed at save time;
+        #   uid_cull[uid] = (parent_uid, Tcp) recorded when the keyframe is
+        #     culled, Tcp = Tcw_kf @ inv(Tcw_parent) at cull time -- the
+        #     reference's KeyFrame::mTcp spanning-tree fallback
+        #     (src/System.cc:468-476).
+        self.kf_uid_next = 0
+        self.slot_uid = np.full(self.K, -1, np.int64)
+        self.uid_insert_pose: dict = {}
+        self.uid_cull: dict = {}
 
     # -- keyframe insertion ------------------------------------------------
     def insert_keyframe(
@@ -415,6 +430,10 @@ class SlamMap:
         self.n_kfs += 1
         self.kf_frame_id[slot] = frame_id
         self.kf_alive[slot] = True
+        uid = self.kf_uid_next
+        self.kf_uid_next += 1
+        self.slot_uid[slot] = uid
+        self.uid_insert_pose[uid] = Tcw
 
         if valid_close is not None:
             valid, close = valid_close
@@ -578,6 +597,17 @@ class SlamMap:
         return culled
 
     def _remove_keyframe(self, kf: int):
+        # trajectory-replay fallback: frames referenced to this keyframe
+        # recompose through its spanning-tree parent (KeyFrame::mTcp,
+        # reference src/System.cc:468-476). Recorded before any mutation;
+        # the parent is alive by the reparent-at-cull invariant. Pure
+        # device compose -- async dispatch, no host read.
+        parent = int(self.kf_parent[kf])
+        uid = int(self.slot_uid[kf])
+        if parent >= 0 and uid >= 0:
+            Tcp = self.arrays.kf_pose[kf] @ se3.inv_T(self.arrays.kf_pose[parent])
+            self.uid_cull[uid] = (int(self.slot_uid[parent]), Tcp)
+        self.slot_uid[kf] = -1
         obs = self.kf_obs_np[kf]
         ids = obs[obs >= 0]
         self.pt_obs_count[ids] -= 1
@@ -649,6 +679,9 @@ class SlamMap:
         self.kf_parent = np.concatenate(
             [self.kf_parent, np.full(K0, -1, np.int64)]
         )
+        self.slot_uid = np.concatenate(
+            [self.slot_uid, np.full(K0, -1, np.int64)]
+        )
         cv = np.zeros((self.K, self.K), np.int32)
         cv[:K0, :K0] = self.covis
         self.covis = cv
@@ -702,6 +735,9 @@ class SlamMap:
         old_par = self.kf_parent[alive]
         par[:A] = np.where(old_par >= 0, lut[np.maximum(old_par, 0)], -1)
         self.kf_parent = par
+        su = np.full_like(self.slot_uid, -1)
+        su[:A] = self.slot_uid[alive]
+        self.slot_uid = su
         # loop-edge endpoints are cull-protected, so both survive
         self.loop_edges = [
             (int(lut[i]), int(lut[j]), T, s)
@@ -775,9 +811,23 @@ class SlamMap:
             gain = ok & (theirs < 0)
             gj = j_all[gain]
             gid = my_obs[gain]
+            if __debug__ and len(gj) != len(np.unique(gj)):
+                # the conflict-free scatter relies on _fuse_match_kernel's
+                # mutual=True making midx unique over valid rows; if the
+                # matching mode ever drops mutuality, duplicate gj would
+                # silently last-write-win and over-increment pt_obs_count
+                raise AssertionError(
+                    "fuse match produced duplicate neighbour keypoints: "
+                    "mutual-match invariant broken"
+                )
             self.kf_obs_np[nb][gj] = gid
             np.add.at(self.pt_obs_count, gid, 1)
             gained = list(zip(gj.tolist(), gid.tolist()))
+            # NOTE (intentional drift vs the reference's per-row interleave):
+            # keep/lose below reads pt_obs_count AFTER all of this
+            # neighbour's gains were applied, so a near-tie can keep the
+            # opposite landmark vs interleaved per-row processing. The
+            # surviving observation set is identical either way.
             mg = np.where(ok & (theirs >= 0) & (theirs != my_obs))[0]
             for i in mg.tolist():
                 a_id, b_id = int(my_obs[i]), int(theirs[i])

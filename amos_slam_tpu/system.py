@@ -59,12 +59,30 @@ class _SupervisionReader:
         self._in = queue.Queue()
         self._out = collections.deque()
         self._thread = None
+        # count of submitted-but-not-yet-materialized items, used by
+        # wait_until to bound how far dispatch runs ahead of supervision
+        self._pending = 0
+        self._cv = threading.Condition()
 
     def submit(self, item):
         if self._thread is None or not self._thread.is_alive():
             self._thread = threading.Thread(target=self._run, daemon=True)
             self._thread.start()
+        with self._cv:
+            self._pending += 1
         self._in.put(item)
+
+    def wait_until(self, max_pending: int):
+        """Block until at most ``max_pending`` submitted items are still
+        unmaterialized. Bounding the in-flight window keeps keyframe
+        maintenance kernels INTERLEAVED with tracking scans in the
+        device's FIFO queue -- unbounded dispatch enqueues every chunk
+        first, so all maintenance work (and its fetch round trips)
+        serializes after the full tracking compute (measured: a ~600 ms
+        flush tail on a 96-frame run, round 4)."""
+        with self._cv:
+            while self._pending > max_pending:
+                self._cv.wait(timeout=1.0)
 
     def _run(self):
         while True:
@@ -89,6 +107,9 @@ class _SupervisionReader:
             sups_np = jax.device_get([sup for (sup, _) in group])
             for (_, (res, view, frame_id)), sup in zip(group, sups_np):
                 self._out.append((res, view, frame_id, sup))
+            with self._cv:
+                self._pending -= len(group)
+                self._cv.notify_all()
             for _ in range(n_got):
                 self._in.task_done()
             if stop:
@@ -188,37 +209,60 @@ class _AsyncFetcher:
                 return
 
     def stop(self):
+        # flush-first contract: the queue is empty when the sentinel is
+        # enqueued, so the worker's requeue-sentinel-at-tail grouping in
+        # _run can never order real work after the sentinel
         self.flush()
         if self._thread is not None and self._thread.is_alive():
             self._in.put(None)
             self._in.join()
 
 
+@jax.jit
+def _slice_row(tree, j):
+    """Row j of every leaf of a stacked pytree in ONE device program.
+
+    Per-leaf eager slicing costs one relay dispatch each (~5 ms fixed
+    overhead through the tunnel); a keyframe insertion touches ~13 leaves,
+    so the per-leaf form burned ~60 ms of device-queue time per keyframe
+    (measured round 4)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.dynamic_index_in_dim(x, j, keepdims=False), tree
+    )
+
+
 class _ChunkRow:
     """Lazy per-frame view over a FusedChunkResult: device arrays are
     sliced only if the supervisor actually needs them (keyframe insertion
-    happens for a few % of frames; slicing every row would cost a device
-    dispatch per leaf per frame)."""
+    happens for a few % of frames). The slice materializes ALL row leaves
+    (features, pose, insertion payload) in one jitted program on first
+    access."""
 
-    __slots__ = ("_chunk", "_j", "_feats")
+    __slots__ = ("_chunk", "_j", "_row")
 
     def __init__(self, chunk, j: int):
         self._chunk = chunk
         self._j = j
-        self._feats = None
+        self._row = None
+
+    def _materialize(self):
+        if self._row is None:
+            self._row = _slice_row(
+                self._chunk.ys, jnp.asarray(self._j, jnp.int32)
+            )
+        return self._row
 
     @property
     def feats(self):
-        if self._feats is None:
-            j = self._j
-            self._feats = jax.tree_util.tree_map(
-                lambda x: x[j], self._chunk.ys.feats
-            )
-        return self._feats
+        return self._materialize().feats
 
     @property
     def Tcw(self):
-        return self._chunk.ys.Tcw[self._j]
+        return self._materialize().Tcw
+
+    @property
+    def sup_heavy(self):
+        return self._materialize().sup_heavy
 
 
 class System:
@@ -257,6 +301,12 @@ class System:
 
         self.timestamps = []
         self.poses_cw = []
+        # one entry per poses_cw entry: the uid (SlamMap.slot_uid) of the
+        # reference keyframe the frame was tracked against, or -1 pre-init.
+        # Used by corrected_poses_np to replay loop/GBA corrections into the
+        # full-frame trajectory (the reference's mlpReferences,
+        # src/Tracking.cc:806-815).
+        self.frame_refs = []
         self.stats = []
         # localization-only mode (reference ActivateLocalizationMode,
         # src/System.cc: tracking continues, the map is frozen)
@@ -310,6 +360,15 @@ class System:
         self._pending_reset = False
 
     def _maybe_auto_reset(self):
+        if self._pending_reset:
+            # Resolve everything in flight first: with lagged supervision,
+            # the LOST verdict that scheduled this reset may be stale -- a
+            # later frame can already have re-anchored (its OK resolve
+            # clears the flag, _resolve_step). Resetting a map that
+            # recovered frames ago would discard good tracking (observed:
+            # a 3-frame blackout whose recovery resolved late wiped the
+            # map 6 frames after tracking was healthy again).
+            self._flush_pending()
         if self._pending_reset:
             self._pending_reset = False
             self.reset()
@@ -373,6 +432,14 @@ class System:
         if self.cfg.deterministic:
             self._flush_pending()
         else:
+            for done in self._reader.drain():
+                self._resolve_done(*done)
+            self._fetcher.drain()
+            # bounded dispatch run-ahead (see _SupervisionReader.wait_until):
+            # loose 16-frame window -- enough to hide the tunnel RTT, tight
+            # enough that keyframe maintenance interleaves with tracking in
+            # the device queue
+            self._reader.wait_until(16)
             for done in self._reader.drain():
                 self._resolve_done(*done)
             self._fetcher.drain()
@@ -462,6 +529,7 @@ class System:
             self.prev_gray, self.prev_depth = g, d
             self.timestamps.append(timestamp)
             self.poses_cw.append(res.Tcw)
+            self.frame_refs.append(self._ref_uid())
 
             self._reader.submit((res.sup, (res, view, self.frame_id)))
             for done in self._reader.drain():
@@ -536,6 +604,14 @@ class System:
         for done in self._reader.drain():
             self._resolve_done(*done)
         self._fetcher.drain()
+        # bounded dispatch window: at most one unresolved chunk ahead, so
+        # this chunk's keyframe maintenance interleaves with the NEXT
+        # chunk's tracking scan on the device instead of all maintenance
+        # serializing after every scan (see _SupervisionReader.wait_until)
+        self._reader.wait_until(1)
+        for done in self._reader.drain():
+            self._resolve_done(*done)
+        self._fetcher.drain()
 
         tcfg = self.cfg.tracking
         view = self.map.local_view(self.ref_kf)
@@ -561,6 +637,7 @@ class System:
         self.prev_kp_valid = res.feats.kp.valid
         self.timestamps.extend(timestamps)
         self.poses_cw.append(res.ys.Tcw)   # (W,4,4) chunk entry
+        self.frame_refs.append(self._ref_uid())
         self._reader.submit((res.ys.sup, (res, view, fid0)))
         for done in self._reader.drain():
             self._resolve_done(*done)
@@ -609,17 +686,89 @@ class System:
         self.prev_gray, self.prev_depth = g, d
         return res
 
-    def poses_np(self):
-        """All frame poses as a list of (4, 4) float64 arrays; chunk-mode
-        entries ((W, 4, 4) stacks) are expanded in order."""
-        self._flush_pending()
-        out = []
-        for T in self.poses_cw:
+    def _ref_uid(self) -> int:
+        """uid of the current reference keyframe (-1 before initialization)."""
+        if self.map.n_kfs == 0:
+            return -1
+        return int(self.map.slot_uid[self.ref_kf])
+
+    def _frame_poses_refs(self):
+        """(per-frame raw Tcw float64 list, per-frame ref-keyframe uid list);
+        chunk-mode entries ((W, 4, 4) stacks) expand in order. ONE bulk
+        device_get for the whole trajectory."""
+        raws = jax.device_get(self.poses_cw)
+        out, refs = [], []
+        for T, u in zip(raws, self.frame_refs):
             a = np.asarray(T, np.float64)
             if a.ndim == 3:
                 out.extend(a)
+                refs.extend([u] * a.shape[0])
             else:
                 out.append(a)
+                refs.append(u)
+        return out, refs
+
+    def poses_np(self):
+        """All frame poses as recorded at track time (no retroactive
+        corrections; see corrected_poses_np for the replayed export)."""
+        self._flush_pending()
+        return self._frame_poses_refs()[0]
+
+    def corrected_poses_np(self):
+        """Full-frame trajectory with loop-closure / BA corrections applied
+        retroactively: each frame pose is recomposed as
+        ``Tcw = Tcr @ Tcw_ref(current)`` with
+        ``Tcr = Tcw(track) @ inv(Tcw_ref(track))`` -- the reference's
+        SaveTrajectoryTUM replay (src/System.cc:444-516; relative list
+        built at src/Tracking.cc:806-815). A culled reference keyframe
+        resolves through its recorded cull-time spanning-tree relative pose
+        (KeyFrame::mTcp, src/System.cc:468-476) to the nearest surviving
+        ancestor. Frames whose reference cannot be resolved (pre-init, or
+        tracked before a System.reset) fall back to their raw pose."""
+        self._flush_pending()
+        if self.loop is not None:
+            self.loop.flush_gba()
+        raw, refs = self._frame_poses_refs()
+        m = self.map
+        ins_keys = list(m.uid_insert_pose)
+        cull_keys = list(m.uid_cull)
+        # one bulk host read for every device-resident 4x4 involved
+        fetched = jax.device_get(
+            [m.arrays.kf_pose]
+            + [m.uid_insert_pose[u] for u in ins_keys]
+            + [m.uid_cull[u][1] for u in cull_keys]
+        )
+        kf_now = np.asarray(fetched[0], np.float64)
+        ins = {
+            u: np.asarray(T, np.float64)
+            for u, T in zip(ins_keys, fetched[1 : 1 + len(ins_keys)])
+        }
+        cull = {
+            u: (m.uid_cull[u][0], np.asarray(T, np.float64))
+            for u, T in zip(cull_keys, fetched[1 + len(ins_keys) :])
+        }
+        uid2slot = {
+            int(m.slot_uid[s]): s
+            for s in range(m.n_kfs)
+            if m.kf_alive[s] and m.slot_uid[s] >= 0
+        }
+        out = []
+        for T_raw, u in zip(raw, refs):
+            T_ins = ins.get(u)
+            if u < 0 or T_ins is None:
+                out.append(T_raw)
+                continue
+            Tcr = T_raw @ trajectory._twc(T_ins)   # cam <- ref at track time
+            ok = True
+            while u not in uid2slot:
+                nxt = cull.get(u)
+                if nxt is None:   # chain broken (reset dropped the map)
+                    ok = False
+                    break
+                pu, Tcp = nxt
+                Tcr = Tcr @ Tcp
+                u = pu
+            out.append(Tcr @ kf_now[uid2slot[u]] if ok else T_raw)
         return out
 
     def track_stereo(self, left: np.ndarray, right: np.ndarray, timestamp: float):
@@ -666,6 +815,7 @@ class System:
             self.prev_kp_valid = res.feats.kp.valid
             self.timestamps.append(timestamp)
             self.poses_cw.append(res.Tcw)
+            self.frame_refs.append(self._ref_uid())
             self._reader.submit((res.sup, (res, view, self.frame_id)))
             for done in self._reader.drain():
                 self._resolve_done(*done)
@@ -734,6 +884,7 @@ class System:
                 self.prev_kp_valid = res.feats.kp.valid
                 self.timestamps.append(timestamp)
                 self.poses_cw.append(res.Tcw)
+                self.frame_refs.append(self._ref_uid())
                 self._reader.submit((res.sup, (res, view, self.frame_id)))
                 for done in self._reader.drain():
                     self._resolve_done(*done)
@@ -780,17 +931,23 @@ class System:
 
     def _resolve_step(self, res, view, frame_id: int, sup=None):
         """Lagged host supervision of one fused fast-path frame: state
-        machine, keyframe decision, stats. `sup` is the frame's packed
-        supervision vector, normally materialized by the reader thread so
-        this never blocks on a device read."""
+        machine, keyframe decision, stats. `sup` is the frame's (3,)
+        count vector [mm_inliers, lm_inliers, n_close], normally
+        materialized by the reader thread so this never blocks on a
+        device read. The DECISION needs only these counts; the heavy
+        insertion payload (kp_point/valid/close, res.sup_heavy) is
+        fetched asynchronously only when a keyframe is actually inserted
+        -- shipping it per frame made the reader bulk fetch
+        bandwidth-bound on the tunnel (measured ~340 ms per 96-frame
+        flush, round 4)."""
         tcfg = self.cfg.tracking
         if sup is None:
             sup = np.asarray(res.sup)
-        N = self.cfg.orb.max_kpts
-        n_mm, n_lm = int(sup[0]), int(sup[1])
+        n_mm, n_lm, n_close = int(sup[0]), int(sup[1]), int(sup[2])
         made_kf = False
         if n_lm >= tcfg.min_inliers_local_map:
             self.state = TrackingState.OK
+            self._pending_reset = False   # recovery cancels a stale reset
             # per-frame visible/found counters accumulate inside the fused
             # program (res.stats_acc); they apply to the map in one scatter
             # when the view changes or a keyframe is inserted (below)
@@ -803,21 +960,11 @@ class System:
                 or n_lm < 50
             )
             if need_kf and not self.localization_only:
-                self._maybe_compact()
-                self._flush_stats()   # cull decisions see fresh counters
-                kp_point = sup[2 : 2 + N].astype(np.int64)
-                valid = sup[2 + N : 2 + 2 * N] > 0
-                close = sup[2 + 2 * N :] > 0
-                self.ref_kf = self.map.insert_keyframe(
-                    res.feats, res.Tcw, kp_point, frame_id,
-                    valid_close=(valid, close),
-                )
-                self.last_kf_frame = frame_id
-                self.last_kf_inliers = n_lm
-                self._keyframe_maintenance(self.ref_kf)
+                self._insert_kf_async(res, frame_id, n_lm, matched=True)
                 made_kf = True
         elif n_mm >= 10:
             self.state = TrackingState.OK   # pure odometry frame
+            self._pending_reset = False
             # Close-point-starved: the local map has fallen behind the
             # camera. Re-seed it with a keyframe built from this frame's
             # close-depth keypoints (all-new landmarks), the reference's
@@ -827,25 +974,47 @@ class System:
             if (
                 not self.localization_only
                 and frame_id - self.last_kf_frame >= 3
+                and n_close >= 100
             ):
-                valid = sup[2 + N : 2 + 2 * N] > 0
-                close = sup[2 + 2 * N :] > 0
-                if int((valid & close).sum()) >= 100:
-                    self._maybe_compact()
-                    kp_point = np.full(N, -1, np.int64)
-                    self.ref_kf = self.map.insert_keyframe(
-                        res.feats, res.Tcw, kp_point, frame_id,
-                        valid_close=(valid, close),
-                    )
-                    self.last_kf_frame = frame_id
-                    self.last_kf_inliers = max(n_mm, 1)
-                    self._keyframe_maintenance(self.ref_kf)
-                    made_kf = True
+                self._insert_kf_async(
+                    res, frame_id, max(n_mm, 1), matched=False
+                )
+                made_kf = True
         else:
             # the device chain already held the pose; the next frame takes
             # the slow path, which runs relocalization
             self._on_lost()
         self.stats.append({"matches": n_mm, "inliers": n_lm, "kf": made_kf})
+
+    def _insert_kf_async(self, res, frame_id: int, kf_inliers: int,
+                         matched: bool):
+        """Insert a keyframe from a fused fast-path frame WITHOUT blocking
+        on the insertion payload: the keyframe cadence state updates now
+        (so subsequent frames' decisions see it), while the (3N,) payload
+        materializes on the fetcher thread and the actual map insertion +
+        maintenance runs as its continuation, in FIFO order with all other
+        map mutations. `matched=False` is the odometry re-seed path (all
+        landmarks new)."""
+        N = self.cfg.orb.max_kpts
+        self.last_kf_frame = frame_id
+        self.last_kf_inliers = kf_inliers
+
+        def cont(heavy):
+            self._maybe_compact()
+            self._flush_stats()   # cull decisions see fresh counters
+            if matched:
+                kp_point = heavy[:N].astype(np.int64)
+            else:
+                kp_point = np.full(N, -1, np.int64)
+            valid = heavy[N : 2 * N] > 0
+            close = heavy[2 * N :] > 0
+            self.ref_kf = self.map.insert_keyframe(
+                res.feats, res.Tcw, kp_point, frame_id,
+                valid_close=(valid, close),
+            )
+            self._keyframe_maintenance(self.ref_kf)
+
+        self._fetcher.submit(res.sup_heavy, cont)
 
     def _maybe_compact(self):
         """Reclaim culled keyframe slots when the map is near capacity
@@ -976,6 +1145,7 @@ class System:
         # Keep the pose on device: a per-frame host conversion is a tunnel
         # round trip. poses_cw materializes lazily (np.asarray at save time).
         self.poses_cw.append(Tcw)
+        self.frame_refs.append(self._ref_uid())
         return Tcw
 
     def _extract_with_dynamics(
@@ -1027,10 +1197,12 @@ class System:
         return self.pipeline.describe(kp, patches, d, suppress)
 
     def save_trajectory_tum(self, path: str):
-        trajectory.save_tum(path, self.timestamps, self.poses_np())
+        """Full-frame TUM export with corrections replayed against current
+        keyframe poses (reference SaveTrajectoryTUM, src/System.cc:429)."""
+        trajectory.save_tum(path, self.timestamps, self.corrected_poses_np())
 
     def save_trajectory_kitti(self, path: str):
-        trajectory.save_kitti(path, self.poses_np())
+        trajectory.save_kitti(path, self.corrected_poses_np())
 
     def save_keyframe_trajectory_tum(self, path: str):
         """Keyframe poses only (SaveKeyFrameTrajectoryTUM,
@@ -1078,7 +1250,12 @@ class System:
     def reset(self):
         """Drop the map and tracking state (reference System::Reset)."""
         self._flush_pending()
+        uid_next = self.map.kf_uid_next
         self.map = SlamMap(self.cfg, self.cam)
+        # keep keyframe uids globally unique across resets so frame_refs
+        # recorded before the reset never alias new keyframes (they fall
+        # back to raw poses in corrected_poses_np)
+        self.map.kf_uid_next = uid_next
         self.loop = None
         self.state = TrackingState.NOT_INITIALIZED
         self.last_feats = None

@@ -1,19 +1,27 @@
 #!/usr/bin/env python
-"""Headline benchmark: full RGB-D SLAM tracking throughput on one TPU chip.
+"""Headline benchmark: the FLAGSHIP two-stage (YOLACT + geometric) RGB-D
+SLAM tracking throughput on one TPU chip, plus the no-dynamics headline,
+per-frame latency mode, local-BA solve rate, and the 8-stream live-map
+stretch config.
 
-Measures steady-state System.track_rgbd -- the fused per-frame program (ORB
-extraction + motion-model tracking + local-map tracking in one XLA dispatch)
-plus the host state machine, against a live array-resident map with
-keyframe insertion/local BA amortized in. Input frames are pre-staged on
-device (dataloader-prefetch assumption).
+The reported `value` is the flagship two-stage + YOLACT configuration --
+the anti-dynamics pipeline is the framework's reason to exist (BASELINE.md
+"RGB-D tracking + segmentation" north star, >= 120 FPS on one chip).
+`vs_baseline` = value / 120.
+
+Weights: by default YOLACT runs with random-init parameters (no trained
+checkpoint is vendored in this environment; the reference loads
+yolact_base_54_800000.pth, src/System.cc:106-108). Pass
+``--weights /path/to/yolact.pth`` (torch state_dict; ported via
+models.port_torch) to run the trained network -- the mask QUALITY then
+changes, the compute cost does not, so the FPS numbers are representative
+either way. Provenance is recorded in extra.seg_weights.
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
-
-Baseline: the driver-set north star is >=120 FPS (4x the reference's 30 FPS
-real-time bar, BASELINE.md); vs_baseline = value / 120.
 """
 
+import argparse
 import json
 import time
 
@@ -21,6 +29,11 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weights", default=None,
+                    help="optional YOLACT .pth checkpoint (torch state_dict)")
+    args = ap.parse_args()
+
     from amos_slam_tpu.utils.jit_cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -29,7 +42,7 @@ def main():
     import jax.numpy as jnp
 
     from amos_slam_tpu.config import SystemConfig
-    from amos_slam_tpu.system import System, TrackingState
+    from amos_slam_tpu.system import System
     from amos_slam_tpu.io import synthetic, evaluate
 
     t_start = time.perf_counter()
@@ -51,10 +64,11 @@ def main():
         jnp.stack([frames[k + i][1] for i in range(CH)])
         for k in range(0, n_frames, CH)
     ]
+    gt = np.asarray(poses)
+    gt_pos = evaluate.positions_from_cw(gt)
 
     def run(slam):
-        """Headline path: chunked tracking (track_rgbd_chunk, W frames per
-        XLA dispatch; keyframe supervision resolves at chunk granularity)."""
+        """No-dynamics chunked path (track_rgbd_chunk, W frames/dispatch)."""
         for k in range(len(gstack)):
             ts = [(k * CH + i) / 30.0 for i in range(CH)]
             slam.track_rgbd_chunk(gstack[k], dstack[k], ts)
@@ -66,13 +80,10 @@ def main():
     t0 = time.perf_counter()
     run(slam)
     dt = time.perf_counter() - t0
-    fps = n_frames / dt
+    nd_fps = n_frames / dt
 
-    est = np.asarray(slam.poses_np())
-    gt = np.asarray(poses)
-    ate = evaluate.ate_rmse(
-        evaluate.positions_from_cw(est), evaluate.positions_from_cw(gt)
-    )
+    est = np.asarray(slam.corrected_poses_np())
+    ate = evaluate.ate_rmse(evaluate.positions_from_cw(est), gt_pos)
     inl = [s["inliers"] for s in slam.stats[1:]]
 
     # per-frame API (latency mode): one dispatch per frame
@@ -87,22 +98,38 @@ def main():
     pf_fps = n_frames / (time.perf_counter() - t0)
     steady_ms = float(np.median(frame_times)) * 1e3
 
-    # flagship anti-dynamics configuration: YOLACT stage 1 (batched over
-    # the chunk: one backbone forward per W frames) + geometric stage 2
-    # inside the chunked scan (tracking.make_dyn_chunk_fn)
+    # FLAGSHIP anti-dynamics configuration: YOLACT stage 1 (one batched
+    # bf16 forward per W-frame chunk, im400 fast mode -- the reference's
+    # yolact_im400 config) + geometric stage 2 inside the chunked scan
     from amos_slam_tpu.models.segmenter import Segmenter
 
+    seg_params = None
+    seg_provenance = "random-init (no trained checkpoint vendored)"
+    if args.weights:
+        from amos_slam_tpu.models.port_torch import load_pth
+
+        seg_params = load_pth(args.weights)
+        seg_provenance = args.weights
+
     dcfg = SystemConfig(use_dynamics=True)
-    seg = Segmenter()
+    seg = Segmenter(params=seg_params, img_size=400)
     rgbstack = [
         jnp.stack([jnp.stack([g, g, g], -1) for g in gs]) for gs in gstack
     ]
 
     def run_dyn(slam):
+        # segment chunk k+1 while chunk k's tracking scan runs: both are
+        # async dispatches, so the host never blocks between them and the
+        # device pipeline stays full
+        masks = seg.person_mask_batch(rgbstack[0])
         for k in range(len(gstack)):
-            masks = seg.person_mask_batch(rgbstack[k])
+            nxt = (
+                seg.person_mask_batch(rgbstack[k + 1])
+                if k + 1 < len(gstack) else None
+            )
             ts = [(k * CH + i) / 30.0 for i in range(CH)]
             slam.track_rgbd_chunk(gstack[k], dstack[k], ts, seg_masks=masks)
+            masks = nxt
         slam.shutdown()
 
     run_dyn(System(dcfg))                  # warmup
@@ -110,23 +137,51 @@ def main():
     t0 = time.perf_counter()
     run_dyn(slam_d)
     dyn_fps = n_frames / (time.perf_counter() - t0)
-    est_d = np.asarray(slam_d.poses_np())
-    dyn_ate = evaluate.ate_rmse(
-        evaluate.positions_from_cw(est_d), evaluate.positions_from_cw(gt)
-    )
+    est_d = np.asarray(slam_d.corrected_poses_np())
+    dyn_ate = evaluate.ate_rmse(evaluate.positions_from_cw(est_d), gt_pos)
 
-    # local-BA solves/sec (BASELINE.json tracked metric): representative
-    # problem = 16 free + 8 fixed cameras, 2048 landmark slots, 10 LM iters
-    from amos_slam_tpu.solvers.local_ba import solve_local_ba
-    from amos_slam_tpu.slam_map.slam_map import _gather_ba_inputs  # noqa
+    # 8-stream live-map SLAM (the BASELINE stretch config): one sharded
+    # program tracks all 8 streams per step while each stream's OWN map
+    # grows (keyframe insertion + triangulation + local BA per stream --
+    # parallel.multistream.MultiStreamSLAM). Per-step (S, 3) host read
+    # keeps the timing honest on the tunnel. Runs unless the bench has
+    # already burned its wall-clock budget on cold compiles.
+    ms_fps = None
+    ms_kfs = None
+    try:
+        if time.perf_counter() - t_start < 900:
+            from amos_slam_tpu.parallel.multistream import (
+                MultiStreamSLAM, make_stream_mesh,
+            )
 
+            S = 8
+            mscfg = SystemConfig(use_dynamics=False)
+            mslam = MultiStreamSLAM(
+                mscfg, S, make_stream_mesh(jax.devices()[:1])
+            )
+            imgs0 = jnp.stack([frames[0][0]] * S)
+            deps0 = jnp.stack([frames[0][1]] * S)
+            mslam.initialize(imgs0, deps0)
+            # warmup step (compile)
+            g = jnp.stack([frames[1][0]] * S)
+            d = jnp.stack([frames[1][1]] * S)
+            mslam.step(g, d)
+            n_steps = 24
+            t0 = time.perf_counter()
+            for k in range(2, 2 + n_steps):
+                i = k % (n_frames - 1)
+                g = jnp.stack([frames[i][0]] * S)
+                d = jnp.stack([frames[i][1]] * S)
+                mslam.step(g, d)
+            ms_fps = S * n_steps / (time.perf_counter() - t0)
+            ms_kfs = [m.n_kfs for m in mslam.maps]
+    except Exception:
+        ms_fps = None
+
+    # local-BA solves/sec (BASELINE.json tracked metric)
     m = slam.map
     window = m.local_keyframes(m.n_kfs - 1, cfg.map.local_window)
-    prob = None
     if len(window) >= 2:
-        # rebuild the same problem run_local_ba would solve
-        import amos_slam_tpu.slam_map.slam_map as SM
-
         solves = 0
         t0 = time.perf_counter()
         while time.perf_counter() - t0 < 3.0:
@@ -143,51 +198,16 @@ def main():
     else:
         ba_per_sec = float("nan")
 
-    # 8-stream batched RGB-D (the BASELINE stretch config): one jitted
-    # multistream step, stream axis over this chip's 1-device mesh (on a
-    # slice the same program shards over ICI). Per-step host read of the
-    # counts makes the timing honest on the tunnel. Time-guarded + fully
-    # optional so it can never sink the headline bench.
-    ms_fps = None
-    try:
-        if time.perf_counter() - t_start < 420:
-            from amos_slam_tpu.parallel.multistream import (
-                make_stream_mesh, init_state, shard_step,
-            )
-
-            S = 8
-            mesh = make_stream_mesh(jax.devices()[:1])
-            imgs = jnp.stack([frames[i][0] for i in range(S)])
-            deps = jnp.stack([frames[i][1] for i in range(S)])
-            view1 = slam.map.local_view(slam.ref_kf)
-            views = jax.tree.map(
-                lambda x: jnp.broadcast_to(x[None], (S,) + x.shape), view1
-            )
-            step = shard_step(slam.pipeline, mesh)
-            r_mm, r_map = slam._r_mm, slam._r_map
-            state = init_state(slam.pipeline, imgs, deps)
-            state, counts = step(state, imgs, deps, views, r_mm, r_map)
-            np.asarray(counts)  # warmup + compile barrier
-            n_steps = 20
-            t0 = time.perf_counter()
-            for k in range(n_steps):
-                i0 = (k * S) % (n_frames - S)
-                imgs = jnp.stack([frames[i0 + i][0] for i in range(S)])
-                deps = jnp.stack([frames[i0 + i][1] for i in range(S)])
-                state, counts = step(state, imgs, deps, views, r_mm, r_map)
-                np.asarray(counts)
-            ms_fps = S * n_steps / (time.perf_counter() - t0)
-    except Exception:
-        ms_fps = None
-
     result = {
-        "metric": "rgbd_slam_tracking_fps",
-        "value": round(fps, 2),
+        "metric": "rgbd_two_stage_slam_fps",
+        "value": round(dyn_fps, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / 120.0, 3),
+        "vs_baseline": round(dyn_fps / 120.0, 3),
         "extra": {
             "device": str(jax.devices()[0]),
             "frames": n_frames,
+            "two_stage_ate_rmse_m": round(float(dyn_ate), 4),
+            "no_dynamics_fps": round(nd_fps, 2),
             "ate_rmse_m": round(float(ate), 4),
             "median_inliers": int(np.median(inl)),
             "keyframes": slam.map.n_kfs,
@@ -196,13 +216,15 @@ def main():
             "per_frame_api_fps": round(pf_fps, 2),
             "steady_state_fps": round(1e3 / steady_ms, 2),
             "steady_state_ms": round(steady_ms, 2),
-            "two_stage_with_yolact_fps": round(dyn_fps, 2),
-            "two_stage_ate_rmse_m": round(float(dyn_ate), 4),
             "local_ba_solves_per_sec": round(ba_per_sec, 2),
             "multistream_8x_fps": round(ms_fps, 2) if ms_fps else None,
-            "note": "chunked System.track_rgbd_chunk (8 frames/dispatch), "
-                    "640x480, live map; per_frame_api_fps = 1-dispatch-"
-                    "per-frame latency mode",
+            "multistream_kfs_per_stream": ms_kfs,
+            "seg_weights": seg_provenance,
+            "note": "value = flagship two-stage + YOLACT(im400 bf16) chunked "
+                    "tracking (8 frames/dispatch, 640x480, live map, "
+                    "replay-corrected trajectory); no_dynamics_fps = same "
+                    "path without the dynamics stages; multistream = 8 "
+                    "streams with live per-stream maps",
         },
     }
     print(json.dumps(result))

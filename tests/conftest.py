@@ -30,6 +30,36 @@ enable_persistent_cache()
 import numpy as np
 import pytest
 
+# ---------------------------------------------------------------------------
+# Test tiers. `pytest -m quick` = smoke tier, <5 min cold on CPU: unit-level
+# kernels/solvers/IO on tiny shapes. Everything else (e2e System runs, chunk
+# scans, training loops) is `slow`. Files not listed here default to slow, so
+# a new expensive test can never silently bloat the smoke tier.
+# ---------------------------------------------------------------------------
+_QUICK_FILES = {
+    "test_se3.py",
+    "test_sim3_camera.py",
+    "test_pose_opt.py",
+    "test_vocabulary.py",
+    "test_map_eval.py",
+    "test_dataset_loaders.py",
+    "test_native_loader.py",
+    "test_fast.py",
+    "test_pnp_slic.py",
+    "test_yolact_data.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import os
+
+    for item in items:
+        base = os.path.basename(str(item.fspath))
+        if base in _QUICK_FILES:
+            item.add_marker(pytest.mark.quick)
+        else:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture()
 def rng():

@@ -52,6 +52,54 @@ def test_relocalization_after_blackout():
     assert ate < 0.02, f"ATE {ate:.4f}"
 
 
+def test_relocalization_second_stage_rescue(monkeypatch):
+    """A sub-gate PnP pose (inliers in [15, 50)) must be rescued by the
+    guided projection re-search + re-optimization, the reference's
+    second relocalization stage (src/Tracking.cc:2715-2788). Without the
+    rescue the frame was dropped on PnP inliers alone."""
+    import jax
+    import jax.numpy as jnp
+    from amos_slam_tpu.geometry import se3
+    from amos_slam_tpu.loop import loop_closing as LC
+    from amos_slam_tpu.solvers.pnp import PnPResult
+
+    planes = synthetic.default_room(seed=11)
+    poses = synthetic.orbit_trajectory(20, radius=0.12, advance=0.3)
+    frames = [synthetic.render(planes, T) for T in poses]
+    slam = System(small_cfg())
+    for i, (g, d) in enumerate(frames):
+        slam.track_rgbd(g, d, i / 30.0)
+    slam.shutdown()
+    assert slam.loop is not None
+
+    # query = a frame near the end of the run; its true pose is known
+    feats = slam.last_feats
+    T_true = np.asarray(slam.poses_cw[-1])
+
+    # force stage 1 to return a rough, barely-inlying pose: the true pose
+    # perturbed by ~2 cm / ~1 deg with a first-pass count inside [15, 50)
+    w = jnp.asarray([0.01, -0.015, 0.008, 0.012, -0.01, 0.015], jnp.float32)
+    T_rough = jnp.asarray(se3.se3_exp(w)) @ jnp.asarray(T_true, jnp.float32)
+    n_first = 20
+
+    def fake_pnp(cam, pts_w, uv, valid, key, **kw):
+        N = pts_w.shape[0]
+        inl = jnp.zeros(N, bool)
+        return PnPResult(
+            Tcw=T_rough, inliers=inl,
+            num_inliers=jnp.asarray(n_first), ok=jnp.asarray(True),
+        )
+
+    monkeypatch.setattr(LC, "ransac_pnp", fake_pnp)
+    reloc = slam.loop.relocalize(feats)
+    assert reloc is not None
+    Tcw, n = reloc
+    assert n >= 50, f"rescue failed: {n} inliers"
+    # rescued pose is near the truth (position error < 1 cm)
+    err = np.linalg.norm(np.linalg.inv(Tcw)[:3, 3] - np.linalg.inv(T_true)[:3, 3])
+    assert err < 0.01, f"pose error {err:.4f} m"
+
+
 def test_vocab_npz_roundtrip(tmp_path, rng):
     descs = (rng.uniform(size=(500, 256)) < 0.5).astype(np.int8)
     voc = train_vocabulary(descs, k=4, depth=3, iters=4, seed=0)

@@ -248,3 +248,177 @@ def test_backbone_port_matches_torch_numerically():
         np.testing.assert_allclose(
             np.transpose(np.asarray(j), (0, 3, 1, 2)), t, atol=2e-4, rtol=1e-3
         )
+
+
+def test_full_net_port_matches_torch_numerically():
+    """Whole-forward numerical oracle for the weight port: a torch twin of
+    the reference's full YOLACT graph (backbone + FPN + ProtoNet + shared
+    prediction head, module names exactly as in the reference's
+    src/python/yolact.py state_dict) with random weights and BN stats must
+    agree with our Flax Yolact after port_state_dict. Pins the FPN lateral
+    REVERSED-order pairing, bilinear upsample convention
+    (align_corners=False), ProtoNet sequential indices (0,2,4,8,10),
+    tanh mask-coefficient activation, and the (B,C,H,W)->(B,HW*a,·)
+    reshape order of every head output."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+    from amos_slam_tpu.models.port_torch import port_state_dict
+    from amos_slam_tpu.models import yolact as Y
+
+    layers = (1, 1, 1, 1)
+    C = 11  # num_classes incl. background
+    A = len(Y.ASPECT_RATIOS)
+
+    class TBottleneck(tnn.Module):
+        def __init__(self, cin, planes, stride):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, planes, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(
+                planes, planes, 3, stride=stride, padding=1, bias=False
+            )
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(planes * 4)
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, planes * 4, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(planes * 4),
+            )
+
+        def forward(self, x):
+            idt = self.downsample(x)
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = torch.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return torch.relu(y + idt)
+
+    class TBackbone(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+            self.layers = tnn.ModuleList()
+            cin, planes = 64, 64
+            for s, n in enumerate(layers):
+                stage = tnn.ModuleList()
+                for b in range(n):
+                    stride = 2 if (s > 0 and b == 0) else 1
+                    stage.append(TBottleneck(cin, planes, stride))
+                    cin = planes * 4
+                self.layers.append(stage)
+                planes *= 2
+
+        def forward(self, x):
+            y = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+            outs = []
+            for stage in self.layers:
+                for blk in stage:
+                    y = blk(y)
+                outs.append(y)
+            return outs  # c2, c3, c4, c5
+
+    def up(x, like):
+        return tF.interpolate(
+            x, size=like.shape[-2:], mode="bilinear", align_corners=False
+        )
+
+    class TYolact(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = TBackbone()
+            # reference FPN (yolact.py:265): lat_layers applied to C5..C3
+            # in REVERSED order -> lat_layers.0 pairs with C5
+            self.fpn = tnn.Module()
+            self.fpn.lat_layers = tnn.ModuleList(
+                [tnn.Conv2d(c, 256, 1) for c in (2048, 1024, 512)]
+            )
+            self.fpn.pred_layers = tnn.ModuleList(
+                [tnn.Conv2d(256, 256, 3, padding=1) for _ in range(3)]
+            )
+            self.fpn.downsample_layers = tnn.ModuleList(
+                [tnn.Conv2d(256, 256, 3, stride=2, padding=1) for _ in range(2)]
+            )
+            # reference make_net proto sequential: conv/relu x3,
+            # interpolate(x2)/relu, conv/relu, 1x1 conv (no last relu)
+            self.proto_net = tnn.Sequential(
+                tnn.Conv2d(256, 256, 3, padding=1), tnn.ReLU(),
+                tnn.Conv2d(256, 256, 3, padding=1), tnn.ReLU(),
+                tnn.Conv2d(256, 256, 3, padding=1), tnn.ReLU(),
+                tnn.Upsample(scale_factor=2, mode="bilinear",
+                             align_corners=False), tnn.ReLU(),
+                tnn.Conv2d(256, 256, 3, padding=1), tnn.ReLU(),
+                tnn.Conv2d(256, Y.PROTO_DIM, 1),
+            )
+            self.prediction_layers = tnn.ModuleList()
+            head = tnn.Module()
+            head.upfeature = tnn.Sequential(
+                tnn.Conv2d(256, 256, 3, padding=1), tnn.ReLU()
+            )
+            head.bbox_layer = tnn.Conv2d(256, 4 * A, 3, padding=1)
+            head.conf_layer = tnn.Conv2d(256, C * A, 3, padding=1)
+            head.mask_layer = tnn.Conv2d(256, Y.PROTO_DIM * A, 3, padding=1)
+            self.prediction_layers.append(head)
+
+        def forward(self, x):
+            _, c3, c4, c5 = self.backbone(x)
+            lat = self.fpn.lat_layers
+            p5 = lat[0](c5)
+            p4 = lat[1](c4) + up(p5, c4)
+            p3 = lat[2](c3) + up(p4, c3)
+            pred = self.fpn.pred_layers
+            p5 = torch.relu(pred[0](p5))
+            p4 = torch.relu(pred[1](p4))
+            p3 = torch.relu(pred[2](p3))
+            p6 = self.fpn.downsample_layers[0](p5)
+            p7 = self.fpn.downsample_layers[1](p6)
+            proto = torch.relu(self.proto_net(p3))
+            head = self.prediction_layers[0]
+            locs, confs, coefs = [], [], []
+            for p in (p3, p4, p5, p6, p7):
+                y = head.upfeature(p)
+                B = y.shape[0]
+                locs.append(
+                    head.bbox_layer(y).permute(0, 2, 3, 1).reshape(B, -1, 4)
+                )
+                confs.append(
+                    head.conf_layer(y).permute(0, 2, 3, 1).reshape(B, -1, C)
+                )
+                coefs.append(
+                    torch.tanh(head.mask_layer(y))
+                    .permute(0, 2, 3, 1).reshape(B, -1, Y.PROTO_DIM)
+                )
+            return (
+                torch.cat(locs, 1), torch.cat(confs, 1), torch.cat(coefs, 1),
+                proto.permute(0, 2, 3, 1),
+            )
+
+    torch.manual_seed(0)
+    tm = TYolact().eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.5, 0.5)
+
+    x = np.random.default_rng(2).normal(0, 1, (1, 3, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        t_loc, t_conf, t_coef, t_proto = [o.numpy() for o in tm(torch.from_numpy(x))]
+
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = port_state_dict(sd, layers)
+    model = Y.Yolact(num_classes=C, backbone_layers=layers)
+    j_loc, j_conf, j_coef, j_proto = model.apply(
+        params, jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
+    )
+    for t, j, name in (
+        (t_loc, j_loc, "loc"), (t_conf, j_conf, "conf"),
+        (t_coef, j_coef, "coef"), (t_proto, j_proto, "proto"),
+    ):
+        t, j = np.asarray(t), np.asarray(j)
+        denom = max(np.abs(t).max(), 1e-3)
+        rel = np.abs(j - t).max() / denom
+        assert rel < 1e-2, f"{name}: rel err {rel:.2e}"

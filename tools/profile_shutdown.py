@@ -136,13 +136,15 @@ def logged_get(x):
 
 
 jax.device_get = logged_get
-slam2 = System(cfg)
-t0 = time.perf_counter()
-for k in range(len(gstack)):
-    ts = [(k * CH + i) / 30.0 for i in range(CH)]
-    slam2.track_rgbd_chunk(gstack[k], dstack[k], ts)
-slam2.shutdown()
-jax.device_get = orig_get
+try:
+    slam2 = System(cfg)
+    t0 = time.perf_counter()
+    for k in range(len(gstack)):
+        ts = [(k * CH + i) / 30.0 for i in range(CH)]
+        slam2.track_rgbd_chunk(gstack[k], dstack[k], ts)
+    slam2.shutdown()
+finally:
+    jax.device_get = orig_get
 print(f"run2 total: {(time.perf_counter()-t0)*1e3:.0f} ms  "
       f"CH={CH}  kfs={slam2.map.n_kfs}")
 print("device_get calls (ms, group):",
