@@ -97,7 +97,7 @@ class DynamicsConfig:
                                       # coarser: k-means reduces to n_clusters
                                       # regions either way, at 1/10 the cost
     slic_compactness: float = 10.0    # SLIC m (src/cluster.cc:12)
-    slic_iters: int = 5
+    slic_iters: int = 3
     epipolar_inlier_th: float = 0.5   # dd <= 0.5 inlier (src/Tracking.cc:939)
     epipolar_outlier_th: float = 1.0  # dd > 1 -> T_M (src/Tracking.cc:1143)
     flow3d_th: float = 0.04           # |scene flow| cluster gate, meters/frame
@@ -119,6 +119,11 @@ class DynamicsConfig:
     lk_win: int = 7                   # LK window half-size (15x15; ref 22x22)
     lk_levels: int = 4
     lk_iters: int = 6
+    lk_downsample: int = 2            # LK on 1/n-res frames (the half-res
+                                      # window then spans ~the reference's
+                                      # 22x22 full-res context at ~1/4 the
+                                      # cost; precision loss ~0.2 px sits
+                                      # inside the adaptive gates)
     pnp_hypotheses: int = 256         # RANSAC pose hypotheses in the dynamic
                                       # stage (reloc keeps the solver's 512)
     person_class_id: int = 0
@@ -157,6 +162,21 @@ class MapConfig:
     loop_consistency_th: int = 3       # consecutive consistent covisibility
                                        # groups before a loop candidate is
                                        # accepted (LoopClosing.cc:48)
+    ba_cadence: int = 1                # local BA every Nth keyframe. The
+                                       # reference runs it per keyframe when
+                                       # idle (LocalMapping.cc:122-141); 1
+                                       # matches that. Measured round 4 on
+                                       # loopy + long synthetic suites:
+                                       # per-keyframe BA's ATE <= the old
+                                       # odd-slot cadence on every sequence
+                                       # and the solve is async device work,
+                                       # so 1 is the default (see
+                                       # tools/cadence_experiment.py).
+    maintenance_cadence: int = 3       # fusion/culling/landmark refresh
+                                       # every Nth keyframe -- redundancy
+                                       # accumulates slowly; the reference
+                                       # also skips these under load via its
+                                       # interrupt flags
 
 
 @dataclass(frozen=True)

@@ -156,6 +156,7 @@ def _coherent_mag(
     static_argnames=(
         "n_clusters", "slic_cell", "slic_iters", "dilate_radius", "has_seg",
         "slic_downsample", "lk_levels", "lk_win", "lk_iters", "pnp_hypotheses",
+        "lk_downsample",
     ),
 )
 def compute_dynamics(
@@ -191,6 +192,7 @@ def compute_dynamics(
     lk_levels: int = 4,
     lk_win: int = 7,
     lk_iters: int = 6,
+    lk_downsample: int = 1,        # static: track flow on 1/n-res frames
     pnp_hypotheses: int = 256,
     cur_rgb: Optional[jax.Array] = None,  # (H, W, 3) uint8/float RGB of the
                                 # current frame; when given, SLIC runs in
@@ -207,6 +209,9 @@ def compute_dynamics(
 ) -> DynamicsResult:
     H, W = cur_gray.shape
     N = flow_pts.shape[0]
+    # uint8 frames are accepted (free fused cast; halves tunnel staging)
+    prev_gray = prev_gray.astype(jnp.float32)
+    cur_gray = cur_gray.astype(jnp.float32)
     seg_mask = seg_mask.astype(bool)
     T_pred = se3.orthonormalize(velocity @ last_Tcw)
     key = jax.random.fold_in(jax.random.PRNGKey(20240817), frame_idx)
@@ -223,10 +228,25 @@ def compute_dynamics(
     if N_all > 512:
         flow_pts = flow_pts[::2][:512]
         flow_pts_valid = flow_pts_valid[::2][:512]
-    flow = lk_flow(
-        prev_gray, cur_gray, flow_pts, flow_pts_valid,
-        levels=lk_levels, win_half=lk_win, iters=lk_iters,
-    )
+    if lk_downsample > 1:
+        # track on subsampled images: an lk_win half-window then covers
+        # lk_downsample x the full-res context (the reference's 22x22
+        # window at full res ~ our 15x15 at half res), per-track cost
+        # drops ~4x, and the ~0.2 full-res px precision loss sits well
+        # inside the adaptive epipolar gates. One pyramid level less
+        # spans the same displacement range.
+        lds = lk_downsample
+        flow = lk_flow(
+            prev_gray[::lds, ::lds], cur_gray[::lds, ::lds],
+            flow_pts / lds, flow_pts_valid,
+            levels=max(lk_levels - 1, 1), win_half=lk_win, iters=lk_iters,
+        )
+        flow = flow._replace(pts1=flow.pts1 * lds)
+    else:
+        flow = lk_flow(
+            prev_gray, cur_gray, flow_pts, flow_pts_valid,
+            levels=lk_levels, win_half=lk_win, iters=lk_iters,
+        )
     good_track = flow.valid & (flow.err < track_err_th)
 
     # 2. 3D from the previous frame's depth; PnP vs motion-model arbitration

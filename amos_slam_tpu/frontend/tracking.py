@@ -389,6 +389,7 @@ def make_dyn_chunk_fn(pipe, dcfg, min_lm: int, has_seg: bool, use_rgb: bool):
         lk_levels=dcfg.lk_levels,
         lk_win=dcfg.lk_win,
         lk_iters=dcfg.lk_iters,
+        lk_downsample=dcfg.lk_downsample,
         pnp_hypotheses=dcfg.pnp_hypotheses,
     )
 

@@ -27,6 +27,10 @@ def build_pyramid(
     static per-level sizes.
     """
     H0, W0 = image.shape
+    # accept uint8 frames: the cast is a free fused op here, and staging
+    # uint8 instead of float32 halves host->device input bandwidth (the
+    # axon tunnel moves ~1-3 MB/s; a 640x480 f32 frame is 1.2 MB)
+    image = image.astype(jnp.float32)
     levels = [image]
     for (h, w) in level_sizes[1:]:
         # resize from the previous level like the reference (cv::resize of

@@ -499,6 +499,7 @@ class System:
                     lk_levels=dcfg.lk_levels,
                     lk_win=dcfg.lk_win,
                     lk_iters=dcfg.lk_iters,
+                    lk_downsample=dcfg.lk_downsample,
                     pnp_hypotheses=dcfg.pnp_hypotheses,
                     cur_rgb=c,
                     gate_state=self._dyn_gates,
@@ -604,11 +605,14 @@ class System:
         for done in self._reader.drain():
             self._resolve_done(*done)
         self._fetcher.drain()
-        # bounded dispatch window: at most one unresolved chunk ahead, so
-        # this chunk's keyframe maintenance interleaves with the NEXT
-        # chunk's tracking scan on the device instead of all maintenance
-        # serializing after every scan (see _SupervisionReader.wait_until)
-        self._reader.wait_until(1)
+        # bounded dispatch window: at most two unresolved chunks ahead, so
+        # keyframe maintenance interleaves with tracking scans in the
+        # device queue instead of serializing after all of them (see
+        # _SupervisionReader.wait_until). Two, not one: the supervision
+        # read lands ~1 tunnel RTT after its chunk's compute finishes, and
+        # a window of one puts that RTT in the per-chunk critical path
+        # (measured: 112 -> 90 FPS when the tunnel RTT spiked to 36 ms).
+        self._reader.wait_until(2)
         for done in self._reader.drain():
             self._resolve_done(*done)
         self._fetcher.drain()
@@ -1109,14 +1113,16 @@ class System:
             self._post_triangulation(slot)
 
     def _post_triangulation(self, slot: int):
+        mcfg = self.cfg.map
+
         def finish():
             # BA last, so it optimizes the post-fusion observation set
             # (reference LocalMapping order: CreateNewMapPoints ->
             # SearchInNeighbors -> local BA -> KeyFrameCulling)
-            if slot % 2 == 1 or slot < 4:
+            if slot % mcfg.ba_cadence == 0 or slot < 4:
                 self.map.run_local_ba(slot)
 
-        if slot % 3 == 1:
+        if slot % mcfg.maintenance_cadence == 1:
             fdisp = self.map.fuse_neighbors_dispatch(slot)
             fetch = {"cull": self.map.cull_points_dispatch()}
             if fdisp is not None:
@@ -1184,6 +1190,7 @@ class System:
                 lk_levels=dcfg.lk_levels,
                 lk_win=dcfg.lk_win,
                 lk_iters=dcfg.lk_iters,
+                lk_downsample=dcfg.lk_downsample,
                 pnp_hypotheses=dcfg.pnp_hypotheses,
                 cur_rgb=rgb,
                 gate_state=self._dyn_gates,

@@ -50,10 +50,16 @@ def main():
     n_frames = 96   # multiple of the chunk width
     planes = synthetic.default_room(seed=1)
     poses = synthetic.orbit_trajectory(n_frames, radius=0.1, advance=0.25)
-    frames = [
-        tuple(jax.device_put(jnp.asarray(a)) for a in synthetic.render(planes, T))
-        for T in poses
-    ]
+    # stage gray as uint8: the perception programs cast inside jit (free
+    # fused op) and input staging bandwidth through the tunnel halves
+    frames = []
+    for T in poses:
+        g, d = synthetic.render(planes, T)
+        frames.append((
+            jax.device_put(jnp.asarray(
+                np.clip(g, 0, 255).astype(np.uint8))),
+            jax.device_put(jnp.asarray(d, jnp.float32)),
+        ))
 
     CH = 8   # chunk width: W fused frame steps per device dispatch
     gstack = [

@@ -154,7 +154,10 @@ def test_gba_merges_keyframes_inserted_during_solve(planes):
     gba = GlobalBundleAdjustment(m)
     gba.step()
 
-    # keyframes arrive while the solve is in flight
+    # keyframes arrive while the solve is in flight (force the cadence
+    # rule: the gap criterion fires on the first supervised frame, so the
+    # fixture does not depend on borderline inlier-ratio thresholds)
+    slam.last_kf_frame = -999
     for i, T in enumerate(full[22:]):
         g, d = synthetic.render(planes, T)
         slam.track_rgbd(g, d, (22 + i) / 30.0)
