@@ -124,6 +124,21 @@ class DynamicsConfig:
                                       # 22x22 full-res context at ~1/4 the
                                       # cost; precision loss ~0.2 px sits
                                       # inside the adaptive gates)
+    dyn_stride: int = 1               # run the geometric stage every Nth
+                                      # frame; skipped frames reuse the
+                                      # previous cluster mask (region-
+                                      # granular, movers cross cluster
+                                      # boundaries slowly). Default 1 (the
+                                      # reference recomputes per frame):
+                                      # stride 2 lags NEW-mover suppression
+                                      # by one extra frame, which the
+                                      # geometric-ONLY entry suite fails.
+                                      # With per-frame stage-1 YOLACT on
+                                      # (the production two-stage config)
+                                      # the semantic prior covers entry and
+                                      # stride 2 halves the stage's cost
+                                      # (tests/test_dynamic_slam_e2e.py::
+                                      # test_strided_two_stage_matches_per_frame).
     pnp_hypotheses: int = 256         # RANSAC pose hypotheses in the dynamic
                                       # stage (reloc keeps the solver's 512)
     person_class_id: int = 0

@@ -45,6 +45,11 @@ _P = jax.lax.Precision.HIGHEST
 
 class DynamicsResult(NamedTuple):
     suppress_mask: jax.Array    # (H, W) bool -- drop keypoints here
+    geom_mask: jax.Array        # (H, W) bool -- the GEOMETRIC cluster part
+                                # only (no stage-1 seg): the reusable
+                                # portion under dyn_stride (cluster regions
+                                # move slowly; the seg mask must be applied
+                                # fresh every frame)
     dynamic_cluster: jax.Array  # (k,) bool
     pixel_cluster: jax.Array    # (H, W) int32
     epi_outlier: jax.Array      # (N,) bool  (the reference's T_M set)
@@ -484,6 +489,7 @@ def compute_dynamics(
 
     return DynamicsResult(
         suppress_mask=suppress,
+        geom_mask=dyn_pix,
         dynamic_cluster=dynamic_cluster,
         pixel_cluster=jnp.pad(
             jnp.broadcast_to(

@@ -351,6 +351,9 @@ class DynChunkResult(NamedTuple):
     velocity: jax.Array
     stats_acc: jax.Array
     gate_state: jax.Array      # (3,) EMA dynamic-gate levels (carry out)
+    geom_mask: jax.Array       # (H, W) geometric cluster mask (carry out;
+                               # dyn_stride>1 reuses it across chunk
+                               # boundaries; stage-1 seg applies fresh)
     ys: ChunkYs
 
 
@@ -374,6 +377,7 @@ def make_dyn_chunk_fn(pipe, dcfg, min_lm: int, has_seg: bool, use_rgb: bool):
     exactly the per-frame pipeline with the fixed per-dispatch cost paid
     once per W frames."""
     from .dynamics import compute_dynamics
+    from ..ops.slic import dilate_mask
 
     kw = dict(
         epi_outlier_th=dcfg.epipolar_outlier_th,
@@ -402,7 +406,7 @@ def make_dyn_chunk_fn(pipe, dcfg, min_lm: int, has_seg: bool, use_rgb: bool):
         segs,          # (W, H, Wd) stage-1 masks (ignored if not has_seg)
         rgbs,          # (W, H, Wd, 3) or None (static by use_rgb)
         last: FrameFeatures,
-        last_Tcw, velocity, gates, view, mm_radius, map_radius,
+        last_Tcw, velocity, gates, mask_in, view, mm_radius, map_radius,
         fid0, stats_acc,
     ):
         W = images.shape[0]
@@ -410,27 +414,53 @@ def make_dyn_chunk_fn(pipe, dcfg, min_lm: int, has_seg: bool, use_rgb: bool):
         prevs_d = jnp.concatenate([prev_d[-1:], depths[:-1]])
         idx = jnp.arange(W)
 
+        stride = dcfg.dyn_stride
+
         def body(carry, inp):
-            feats, Tcw, vel, g8, acc = carry
+            feats, Tcw, vel, g8, acc, mask_prev = carry
             if use_rgb:
                 g, d, pg, pd, seg, rgb, i = inp
             else:
                 g, d, pg, pd, seg, i = inp
                 rgb = None
-            dyn = compute_dynamics(
-                pipe.cam, pg, pd, g, d, seg, Tcw, vel,
-                feats.kp.xy, feats.kp.valid, fid0 + i,
-                cur_rgb=rgb, gate_state=g8, **kw,
-            )
+
+            def run_stage(_):
+                dyn = compute_dynamics(
+                    pipe.cam, pg, pd, g, d, seg, Tcw, vel,
+                    feats.kp.xy, feats.kp.valid, fid0 + i,
+                    cur_rgb=rgb, gate_state=g8, **kw,
+                )
+                return dyn.suppress_mask, dyn.geom_mask, dyn.gate_state
+
+            if stride > 1:
+                # dyn_stride > 1: the GEOMETRIC stage runs every Nth frame
+                # and skipped frames reuse its cluster mask -- cluster
+                # regions move far slower than the frame rate. The stage-1
+                # seg mask is applied FRESH every frame (a mover crosses
+                # ~15 px/frame; a reused seg mask trails it). lax.cond
+                # executes only the taken branch at runtime.
+                def reuse(_):
+                    m = (
+                        dilate_mask(seg.astype(bool), kw["dilate_radius"])
+                        | mask_prev
+                        if has_seg else mask_prev
+                    )
+                    return m, mask_prev, g8
+
+                mask, geom, g8_new = jax.lax.cond(
+                    (fid0 + i) % stride == 0, run_stage, reuse, None,
+                )
+            else:
+                mask, geom, g8_new = run_stage(None)
             res = _frame_step_core(
                 pipe, g, d, feats, Tcw, vel, view,
-                mm_radius, map_radius, min_lm, dyn.suppress_mask, acc,
+                mm_radius, map_radius, min_lm, mask, acc,
             )
             ys = ChunkYs(Tcw=res.Tcw, sup=res.sup,
                      sup_heavy=res.sup_heavy, feats=res.feats)
             return (
-                res.feats, res.Tcw, res.velocity, dyn.gate_state,
-                res.stats_acc,
+                res.feats, res.Tcw, res.velocity, g8_new,
+                res.stats_acc, geom,
             ), ys
 
         xs = (
@@ -443,12 +473,12 @@ def make_dyn_chunk_fn(pipe, dcfg, min_lm: int, has_seg: bool, use_rgb: bool):
             jnp.zeros((V, 2), jnp.int32) if stats_acc is None else stats_acc
         )
         carry, ys = jax.lax.scan(
-            body, (last, last_Tcw, velocity, gates, acc0), xs
+            body, (last, last_Tcw, velocity, gates, acc0, mask_in), xs
         )
-        feats, Tcw, vel, g8, acc = carry
+        feats, Tcw, vel, g8, acc, mask_out = carry
         return DynChunkResult(
             feats=feats, Tcw=Tcw, velocity=vel, stats_acc=acc,
-            gate_state=g8, ys=ys,
+            gate_state=g8, geom_mask=mask_out, ys=ys,
         )
 
     return dyn_chunk

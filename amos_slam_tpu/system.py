@@ -338,6 +338,9 @@ class System:
         # EMA gate levels for the dynamic stage (device (3,) array carried
         # frame to frame; None = cold start at the absolute thresholds)
         self._dyn_gates = None
+        # last suppression mask (device (H, W) bool), reused on skipped
+        # frames when dynamics.dyn_stride > 1
+        self._dyn_mask = None
         self.prev_kp_xy = None
         self.prev_kp_valid = None
         # mono fast path: last frame's per-keypoint landmark ids (device
@@ -481,35 +484,51 @@ class System:
                 # pose prediction and the RANSAC key derive inside the
                 # jitted program from (velocity, last_Tcw, frame_id).
                 seg = seg_mask if seg_mask is not None else self._zero_mask(g)
-                dyn = compute_dynamics(
-                    self.cam, self.prev_gray, self.prev_depth, g, d, seg,
-                    self.last_Tcw, self.velocity,
-                    self.last_feats.kp.xy, self.last_feats.kp.valid,
-                    self.frame_id,
-                    epi_outlier_th=dcfg.epipolar_outlier_th,
-                    mean_rpe_th=dcfg.mean_rpe_th,
-                    flow3d_th=dcfg.flow3d_th,
-                    n_clusters=dcfg.n_clusters,
-                    slic_cell=dcfg.slic_cell,
-                    slic_iters=dcfg.slic_iters,
-                    dilate_radius=dcfg.mask_dilate_radius,
-                    slic_compactness=dcfg.slic_compactness,
-                    has_seg=seg_mask is not None,
-                    slic_downsample=dcfg.slic_downsample,
-                    lk_levels=dcfg.lk_levels,
-                    lk_win=dcfg.lk_win,
-                    lk_iters=dcfg.lk_iters,
-                    lk_downsample=dcfg.lk_downsample,
-                    pnp_hypotheses=dcfg.pnp_hypotheses,
-                    cur_rgb=c,
-                    gate_state=self._dyn_gates,
-                )
-                self._dyn_gates = dyn.gate_state
+                if (
+                    dcfg.dyn_stride > 1
+                    and self.frame_id % dcfg.dyn_stride != 0
+                    and self._dyn_mask is not None
+                ):
+                    # stride frame: reuse the last GEOMETRIC cluster mask;
+                    # the stage-1 seg mask applies fresh (a mover trails
+                    # a reused seg mask within one frame)
+                    suppress = (
+                        dilate_mask(seg, dcfg.mask_dilate_radius)
+                        | self._dyn_mask
+                        if seg_mask is not None else self._dyn_mask
+                    )
+                else:
+                    dyn = compute_dynamics(
+                        self.cam, self.prev_gray, self.prev_depth, g, d, seg,
+                        self.last_Tcw, self.velocity,
+                        self.last_feats.kp.xy, self.last_feats.kp.valid,
+                        self.frame_id,
+                        epi_outlier_th=dcfg.epipolar_outlier_th,
+                        mean_rpe_th=dcfg.mean_rpe_th,
+                        flow3d_th=dcfg.flow3d_th,
+                        n_clusters=dcfg.n_clusters,
+                        slic_cell=dcfg.slic_cell,
+                        slic_iters=dcfg.slic_iters,
+                        dilate_radius=dcfg.mask_dilate_radius,
+                        slic_compactness=dcfg.slic_compactness,
+                        has_seg=seg_mask is not None,
+                        slic_downsample=dcfg.slic_downsample,
+                        lk_levels=dcfg.lk_levels,
+                        lk_win=dcfg.lk_win,
+                        lk_iters=dcfg.lk_iters,
+                        lk_downsample=dcfg.lk_downsample,
+                        pnp_hypotheses=dcfg.pnp_hypotheses,
+                        cur_rgb=c,
+                        gate_state=self._dyn_gates,
+                    )
+                    self._dyn_gates = dyn.gate_state
+                    suppress = dyn.suppress_mask
+                    self._dyn_mask = dyn.geom_mask
                 res = fused_frame_step(
                     self.pipeline, g, d, self.last_feats, self.last_Tcw,
                     self.velocity, view, self._r_mm, self._r_map,
                     min_lm=tcfg.min_inliers_local_map,
-                    suppress_mask=dyn.suppress_mask,
+                    suppress_mask=suppress,
                     stats_acc=self._stats_acc,
                 )
             else:
@@ -679,12 +698,18 @@ class System:
             self._dyn_gates if self._dyn_gates is not None
             else jnp.zeros(3, jnp.float32)
         )
+        mask_in = (
+            self._dyn_mask if self._dyn_mask is not None
+            else self._zero_mask(g[0])
+        )
         res = fn(
             g, d, pg, pd, segs, rgb_stack, self.last_feats, self.last_Tcw,
-            self.velocity, gates, view, self._r_mm, self._r_map,
+            self.velocity, gates, mask_in, view, self._r_mm, self._r_map,
             jnp.asarray(fid0), self._stats_acc,
         )
         self._dyn_gates = res.gate_state
+        self._dyn_mask = res.geom_mask   # geometric cluster mask carried
+                                         # across chunks for dyn_stride reuse
         # keep the full stacks: the next chunk slices [-1] inside its
         # program; a host-side slice would be an extra dispatch per chunk
         self.prev_gray, self.prev_depth = g, d
@@ -1170,6 +1195,10 @@ class System:
             self.cfg.use_dynamics
             and self.state is TrackingState.OK
             and self.prev_gray is not None
+        ) and (
+            dcfg.dyn_stride <= 1
+            or self.frame_id % dcfg.dyn_stride == 0
+            or self._dyn_mask is None
         ):
             dyn = compute_dynamics(
                 self.cam,
@@ -1197,6 +1226,17 @@ class System:
             )
             self._dyn_gates = dyn.gate_state
             suppress = dyn.suppress_mask
+            self._dyn_mask = dyn.geom_mask
+        elif (
+            self.cfg.use_dynamics
+            and self.state is TrackingState.OK
+            and self._dyn_mask is not None
+        ):
+            # stride frame: reuse the geometric mask, fresh seg on top
+            suppress = (
+                dilate_mask(seg, dcfg.mask_dilate_radius) | self._dyn_mask
+                if has_seg else self._dyn_mask
+            )
         elif has_seg:
             suppress = dilate_mask(seg, dcfg.mask_dilate_radius)
 
@@ -1274,6 +1314,7 @@ class System:
         self._mono_ref = None
         self._last_pid = None
         self._dyn_gates = None
+        self._dyn_mask = None
         self._stats_acc = None
         self._acc_ids = None
 

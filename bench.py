@@ -117,7 +117,15 @@ def main():
         seg_params = load_pth(args.weights)
         seg_provenance = args.weights
 
-    dcfg = SystemConfig(use_dynamics=True)
+    from amos_slam_tpu.config import DynamicsConfig
+
+    # production two-stage config: per-frame stage-1 YOLACT (covers mover
+    # ENTRY) + the geometric stage every 2nd frame with cluster-mask reuse
+    # (validated: tests/test_dynamic_slam_e2e.py::
+    # test_strided_two_stage_matches_per_frame)
+    dcfg = SystemConfig(
+        use_dynamics=True, dynamics=DynamicsConfig(dyn_stride=2)
+    )
     seg = Segmenter(params=seg_params, img_size=400)
     rgbstack = [
         jnp.stack([jnp.stack([g, g, g], -1) for g in gs]) for gs in gstack

@@ -216,3 +216,35 @@ def test_stage1_seg_mask_also_protects(dynamic_sequence):
     slam = run(frames, use_dynamics=False, seg=True)  # stage 1 only
     a = ate(slam, poses_gt)
     assert a < 0.03, f"seg-only ATE {a:.4f}"
+
+
+def test_strided_two_stage_matches_per_frame(dynamic_sequence):
+    """The flagship's strided configuration (dyn_stride=2: geometric stage
+    every 2nd frame with cluster-mask reuse, per-frame stage-1 masks) must
+    match the per-frame two-stage result on a standard dynamic scene --
+    cluster regions move far slower than the frame rate, and the semantic
+    prior is applied fresh every frame. (Geometric-ONLY stride is NOT the
+    shipped default -- see test_geometric_stage_on_entering_mover and the
+    DynamicsConfig.dyn_stride rationale.)"""
+    from amos_slam_tpu.config import DynamicsConfig
+
+    poses_gt, frames = dynamic_sequence
+
+    def run_cfg(stride):
+        cfg = SystemConfig(
+            map=MapConfig(max_keyframes=32, max_points=8192),
+            tracking=TrackingConfig(max_map_points_local=2048),
+            dynamics=DynamicsConfig(dyn_stride=stride),
+            use_dynamics=True,
+            deterministic=True,
+        )
+        slam = System(cfg)
+        for i, (g, d, m) in enumerate(frames):
+            slam.track_rgbd(g, d, i / 30.0, seg_mask=m)
+        slam.shutdown()
+        return slam
+
+    ate_s2 = ate(run_cfg(2), poses_gt)
+    assert ate_s2 < 0.03, f"strided two-stage ATE {ate_s2:.4f}"
+    ate_s1 = ate(run_cfg(1), poses_gt)
+    assert ate_s2 < max(1.5 * ate_s1, 0.02), (ate_s2, ate_s1)
