@@ -98,25 +98,33 @@ def multistream_step(
 
 def shard_step(pipeline: ORBPipeline, mesh: Mesh, axis: str = "stream",
                min_lm: int = 30):
-    """jit the multistream step with stream-axis shardings over ``mesh``."""
-    batch = NamedSharding(mesh, P(axis))
-    repl = NamedSharding(mesh, P())
+    """jit the multistream step sharded over the mesh's stream axis.
 
-    def step(state, images, depths, views, mm_radius, map_radius):
+    Built on ``shard_map``, not jit-with-in_shardings: per-stream SLAM
+    needs no collectives, so each device runs the per-shard program on its
+    local streams verbatim -- and the Pallas FAST kernel inside the fused
+    step lowers as ordinary per-device code, which XLA's SPMD partitioner
+    cannot do (a partitioned pallas_call fails at runtime on TPU;
+    measured round 4)."""
+
+    def local_step(state, images, depths, views, mm_radius, map_radius):
         return multistream_step(
             pipeline, state, images, depths, views, mm_radius, map_radius,
             min_lm=min_lm,
         )
 
-    # ``batch`` as a pytree prefix shards every leaf of the state/views
-    # along the stream axis; per-stream state stays resident on its shard
-    # across steps (donated), so steady-state needs no host round-trips.
-    return jax.jit(
-        step,
-        in_shardings=(batch, batch, batch, batch, repl, repl),
-        out_shardings=(batch, batch, batch),
-        donate_argnums=(0,),
+    b = P(axis)
+    r = P()
+    mapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(b, b, b, b, r, r),
+        out_specs=(b, b, b),
+        check_vma=False,
     )
+    # per-stream state stays resident on its shard across steps (donated),
+    # so steady-state needs no host round-trips
+    return jax.jit(mapped, donate_argnums=(0,))
 
 
 class MultiStreamSLAM:

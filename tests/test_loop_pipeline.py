@@ -171,3 +171,11 @@ def test_rgbd_loop_closes_and_fuses():
         obs = slam.map.kf_obs_np[: slam.map.n_kfs]
         live_obs = obs[obs >= 0]
         assert not dead[live_obs].any(), "observation points at dead landmark"
+        # the replay-corrected export carries the loop correction into
+        # pre-loop frames: it must not be worse than the raw track-time
+        # trajectory (reference SaveTrajectoryTUM, src/System.cc:444-516)
+        corr = np.asarray(slam.corrected_poses_np())
+        ate_corr = evaluate.ate_rmse(
+            evaluate.positions_from_cw(corr), evaluate.positions_from_cw(gt)
+        )
+        assert ate_corr <= ate + 1e-4, (ate_corr, ate)
