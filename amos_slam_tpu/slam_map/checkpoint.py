@@ -40,11 +40,6 @@ def save_map(path: str, slam_map) -> None:
         ),
         kf_uid_next=slam_map.kf_uid_next,
         slot_uid=slam_map.slot_uid,
-        uid_ins_k=np.asarray(list(slam_map.uid_insert_pose), np.int64),
-        uid_ins_T=np.asarray(
-            [np.asarray(T) for T in slam_map.uid_insert_pose.values()],
-            np.float64,
-        ).reshape(-1, 4, 4),
         uid_cull_k=np.asarray(list(slam_map.uid_cull), np.int64),
         uid_cull_p=np.asarray(
             [p for p, _ in slam_map.uid_cull.values()], np.int64
@@ -91,10 +86,6 @@ def load_map(path: str, slam_map) -> None:
     if "slot_uid" in z:
         slam_map.kf_uid_next = int(z["kf_uid_next"])
         slam_map.slot_uid = z["slot_uid"]
-        slam_map.uid_insert_pose = {
-            int(k): jnp.asarray(T, jnp.float32)
-            for k, T in zip(z["uid_ins_k"], z["uid_ins_T"])
-        }
         slam_map.uid_cull = {
             int(k): (int(p), jnp.asarray(T, jnp.float32))
             for k, p, T in zip(z["uid_cull_k"], z["uid_cull_p"], z["uid_cull_T"])
@@ -105,11 +96,6 @@ def load_map(path: str, slam_map) -> None:
         su[: slam_map.n_kfs] = np.arange(slam_map.n_kfs)
         su[~slam_map.kf_alive] = -1
         slam_map.slot_uid = su
-        slam_map.uid_insert_pose = {
-            int(su[s]): jnp.asarray(slam_map.arrays.kf_pose[s])
-            for s in range(slam_map.n_kfs)
-            if su[s] >= 0
-        }
         slam_map.uid_cull = {}
     slam_map.version += 1
     slam_map._view_cache = {}

@@ -402,16 +402,15 @@ class SlamMap:
         # mlpReferences by KeyFrame*, src/Tracking.cc:806-815; slots here
         # are reused after compaction, so replay bookkeeping is keyed by a
         # monotonically increasing uid instead):
-        #   uid_insert_pose[uid] = Tcw at insertion time (device (4,4)) --
-        #     the pose against which each frame's relative pose Tcr is
-        #     recomposed at save time;
         #   uid_cull[uid] = (parent_uid, Tcp) recorded when the keyframe is
         #     culled, Tcp = Tcw_kf @ inv(Tcw_parent) at cull time -- the
         #     reference's KeyFrame::mTcp spanning-tree fallback
         #     (src/System.cc:468-476).
+        # (Track-time reference poses for trajectory replay live in
+        # System._ref_epochs, snapshotted per frame epoch -- matching the
+        # reference's track-time Tcr, src/Tracking.cc:806-815.)
         self.kf_uid_next = 0
         self.slot_uid = np.full(self.K, -1, np.int64)
-        self.uid_insert_pose: dict = {}
         self.uid_cull: dict = {}
 
     # -- keyframe insertion ------------------------------------------------
@@ -425,7 +424,15 @@ class SlamMap:
     ) -> int:
         """Insert a keyframe; create landmarks for unmatched close-depth
         keypoints (Tracking::CreateNewKeyFrame, src/Tracking.cc:2210)."""
-        assert self.n_kfs < self.K - 1, "keyframe capacity exhausted"
+        # Capacity backstop: callers prefer compaction (slot reuse) when
+        # near-full, but compaction renumbers slots and so cannot run while
+        # pending continuations hold slot ids (System._maybe_compact's
+        # reentrancy guard). Growth renumbers nothing, so it is always safe
+        # to do here -- this keeps the unbounded-sequence guarantee even
+        # when >=3 insertions resolve back-to-back at capacity (the
+        # reference never caps keyframe count, src/LocalMapping.cc:874).
+        if self.n_kfs >= self.K - 1:
+            self.grow_keyframes()
         slot = self.n_kfs
         self.n_kfs += 1
         self.kf_frame_id[slot] = frame_id
@@ -433,7 +440,6 @@ class SlamMap:
         uid = self.kf_uid_next
         self.kf_uid_next += 1
         self.slot_uid[slot] = uid
-        self.uid_insert_pose[uid] = Tcw
 
         if valid_close is not None:
             valid, close = valid_close

@@ -82,6 +82,13 @@ class _SupervisionReader:
         flush tail on a 96-frame run, round 4)."""
         with self._cv:
             while self._pending > max_pending:
+                if self._thread is None or not self._thread.is_alive():
+                    # reader died (device_get raised): surface the failure
+                    # on the tracking thread instead of spinning forever
+                    raise RuntimeError(
+                        "supervision reader thread died with "
+                        f"{self._pending} reads outstanding"
+                    )
                 self._cv.wait(timeout=1.0)
 
     def _run(self):
@@ -99,19 +106,23 @@ class _SupervisionReader:
             n_got = len(group)
             stop = any(g is None for g in group)
             group = [g for g in group if g is not None]
-            # ONE bulk transfer for the whole group: device_get starts
-            # every copy asynchronously before blocking, so N queued
-            # supervision vectors cost ~1 tunnel round trip, not N
-            # serialized ones (measured: the serial form was 500+ ms of
-            # the shutdown flush)
-            sups_np = jax.device_get([sup for (sup, _) in group])
-            for (_, (res, view, frame_id)), sup in zip(group, sups_np):
-                self._out.append((res, view, frame_id, sup))
-            with self._cv:
-                self._pending -= len(group)
-                self._cv.notify_all()
-            for _ in range(n_got):
-                self._in.task_done()
+            try:
+                # ONE bulk transfer for the whole group: device_get starts
+                # every copy asynchronously before blocking, so N queued
+                # supervision vectors cost ~1 tunnel round trip, not N
+                # serialized ones (measured: the serial form was 500+ ms of
+                # the shutdown flush)
+                sups_np = jax.device_get([sup for (sup, _) in group])
+                for (_, (res, view, frame_id)), sup in zip(group, sups_np):
+                    self._out.append((res, view, frame_id, sup))
+            finally:
+                # decrement + notify even if device_get raised, so
+                # wait_until never deadlocks on a dead reader
+                with self._cv:
+                    self._pending -= len(group)
+                    self._cv.notify_all()
+                for _ in range(n_got):
+                    self._in.task_done()
             if stop:
                 return
 
@@ -301,12 +312,14 @@ class System:
 
         self.timestamps = []
         self.poses_cw = []
-        # one entry per poses_cw entry: the uid (SlamMap.slot_uid) of the
-        # reference keyframe the frame was tracked against, or -1 pre-init.
-        # Used by corrected_poses_np to replay loop/GBA corrections into the
-        # full-frame trajectory (the reference's mlpReferences,
-        # src/Tracking.cc:806-815).
+        # one entry per poses_cw entry: index into self._ref_epochs (the
+        # (ref-keyframe uid, ref pose at track time) snapshot the frame was
+        # tracked against), or -1 pre-init. Used by corrected_poses_np to
+        # replay loop/GBA corrections into the full-frame trajectory (the
+        # reference's mlpReferences + track-time Tcr, src/Tracking.cc:806-815).
         self.frame_refs = []
+        self._ref_epochs = []   # (uid, device/host (4,4) ref Tcw) snapshots
+        self._epoch_key = None  # (map identity, map.version, ref_kf) of [-1]
         self.stats = []
         # localization-only mode (reference ActivateLocalizationMode,
         # src/System.cc: tracking continues, the map is frozen)
@@ -549,7 +562,7 @@ class System:
             self.prev_gray, self.prev_depth = g, d
             self.timestamps.append(timestamp)
             self.poses_cw.append(res.Tcw)
-            self.frame_refs.append(self._ref_uid())
+            self.frame_refs.append(self._ref_epoch())
 
             self._reader.submit((res.sup, (res, view, self.frame_id)))
             for done in self._reader.drain():
@@ -660,7 +673,7 @@ class System:
         self.prev_kp_valid = res.feats.kp.valid
         self.timestamps.extend(timestamps)
         self.poses_cw.append(res.ys.Tcw)   # (W,4,4) chunk entry
-        self.frame_refs.append(self._ref_uid())
+        self.frame_refs.append(self._ref_epoch())
         self._reader.submit((res.ys.sup, (res, view, fid0)))
         for done in self._reader.drain():
             self._resolve_done(*done)
@@ -721,6 +734,33 @@ class System:
             return -1
         return int(self.map.slot_uid[self.ref_kf])
 
+    def _ref_epoch(self) -> int:
+        """Index into self._ref_epochs for the CURRENT (ref uid, ref pose)
+        pair; -1 before initialization.
+
+        The reference computes each frame's relative pose Tcr against the
+        reference keyframe's pose AS OF THAT FRAME'S TRACK TIME
+        (src/Tracking.cc:806-815: Tcr = Tcw * pRefKF->GetPoseInverse() in
+        Track()), not its insert-time pose -- after a loop correction
+        rebases the tracker (see _resolve of maintenance, the
+        inv(Told) @ Tnew rebase) the subsequent frames are already in the
+        corrected frame, and composing them against the insert-time pose
+        would apply the correction twice at export. So each frame records
+        an epoch: a (uid, device (4,4) kf_pose slice) snapshot taken the
+        first time a frame is tracked after any map mutation / ref change.
+        The slice is a lazy async device op (no host sync); epochs are
+        created at map-mutation rate (~keyframe rate), not frame rate."""
+        if self.map.n_kfs == 0:
+            return -1
+        key = (id(self.map), self.map.version, self.ref_kf)
+        if key != self._epoch_key:
+            self._epoch_key = key
+            self._ref_epochs.append((
+                int(self.map.slot_uid[self.ref_kf]),
+                self.map.arrays.kf_pose[self.ref_kf],
+            ))
+        return len(self._ref_epochs) - 1
+
     def _frame_poses_refs(self):
         """(per-frame raw Tcw float64 list, per-frame ref-keyframe uid list);
         chunk-mode entries ((W, 4, 4) stacks) expand in order. ONE bulk
@@ -749,32 +789,36 @@ class System:
         ``Tcw = Tcr @ Tcw_ref(current)`` with
         ``Tcr = Tcw(track) @ inv(Tcw_ref(track))`` -- the reference's
         SaveTrajectoryTUM replay (src/System.cc:444-516; relative list
-        built at src/Tracking.cc:806-815). A culled reference keyframe
-        resolves through its recorded cull-time spanning-tree relative pose
-        (KeyFrame::mTcp, src/System.cc:468-476) to the nearest surviving
-        ancestor. Frames whose reference cannot be resolved (pre-init, or
-        tracked before a System.reset) fall back to their raw pose."""
+        built at src/Tracking.cc:806-815). ``Tcw_ref(track)`` is the
+        track-time epoch snapshot (see _ref_epoch), so frames tracked
+        after a loop rebase / local BA compose against the pose they were
+        actually tracked in -- never double-applying a correction. A culled
+        reference keyframe resolves through its recorded cull-time
+        spanning-tree relative pose (KeyFrame::mTcp, src/System.cc:468-476)
+        to the nearest surviving ancestor. Frames whose reference cannot be
+        resolved (pre-init, or tracked before a System.reset) fall back to
+        their raw pose."""
         self._flush_pending()
         if self.loop is not None:
             self.loop.flush_gba()
         raw, refs = self._frame_poses_refs()
         m = self.map
-        ins_keys = list(m.uid_insert_pose)
         cull_keys = list(m.uid_cull)
         # one bulk host read for every device-resident 4x4 involved
         fetched = jax.device_get(
             [m.arrays.kf_pose]
-            + [m.uid_insert_pose[u] for u in ins_keys]
+            + [T for (_, T) in self._ref_epochs]
             + [m.uid_cull[u][1] for u in cull_keys]
         )
         kf_now = np.asarray(fetched[0], np.float64)
-        ins = {
-            u: np.asarray(T, np.float64)
-            for u, T in zip(ins_keys, fetched[1 : 1 + len(ins_keys)])
-        }
+        n_ep = len(self._ref_epochs)
+        epochs = [
+            (u, np.asarray(T, np.float64))
+            for (u, _), T in zip(self._ref_epochs, fetched[1 : 1 + n_ep])
+        ]
         cull = {
             u: (m.uid_cull[u][0], np.asarray(T, np.float64))
-            for u, T in zip(cull_keys, fetched[1 + len(ins_keys) :])
+            for u, T in zip(cull_keys, fetched[1 + n_ep :])
         }
         uid2slot = {
             int(m.slot_uid[s]): s
@@ -782,12 +826,12 @@ class System:
             if m.kf_alive[s] and m.slot_uid[s] >= 0
         }
         out = []
-        for T_raw, u in zip(raw, refs):
-            T_ins = ins.get(u)
-            if u < 0 or T_ins is None:
+        for T_raw, e in zip(raw, refs):
+            if e < 0:
                 out.append(T_raw)
                 continue
-            Tcr = T_raw @ trajectory._twc(T_ins)   # cam <- ref at track time
+            u, T_ref = epochs[e]
+            Tcr = T_raw @ trajectory._twc(T_ref)   # cam <- ref at track time
             ok = True
             while u not in uid2slot:
                 nxt = cull.get(u)
@@ -844,7 +888,7 @@ class System:
             self.prev_kp_valid = res.feats.kp.valid
             self.timestamps.append(timestamp)
             self.poses_cw.append(res.Tcw)
-            self.frame_refs.append(self._ref_uid())
+            self.frame_refs.append(self._ref_epoch())
             self._reader.submit((res.sup, (res, view, self.frame_id)))
             for done in self._reader.drain():
                 self._resolve_done(*done)
@@ -913,7 +957,7 @@ class System:
                 self.prev_kp_valid = res.feats.kp.valid
                 self.timestamps.append(timestamp)
                 self.poses_cw.append(res.Tcw)
-                self.frame_refs.append(self._ref_uid())
+                self.frame_refs.append(self._ref_epoch())
                 self._reader.submit((res.sup, (res, view, self.frame_id)))
                 for done in self._reader.drain():
                     self._resolve_done(*done)
@@ -1176,7 +1220,7 @@ class System:
         # Keep the pose on device: a per-frame host conversion is a tunnel
         # round trip. poses_cw materializes lazily (np.asarray at save time).
         self.poses_cw.append(Tcw)
-        self.frame_refs.append(self._ref_uid())
+        self.frame_refs.append(self._ref_epoch())
         return Tcw
 
     def _extract_with_dynamics(
@@ -1283,6 +1327,7 @@ class System:
 
         load_map(path, self.map)
         self.ref_kf = max(self.map.n_kfs - 1, 0)
+        self._epoch_key = None   # force a fresh track-time ref snapshot
 
     def activate_localization_mode(self):
         """Track against the existing map without extending it
@@ -1317,6 +1362,9 @@ class System:
         self._dyn_mask = None
         self._stats_acc = None
         self._acc_ids = None
+        # epochs recorded before the reset stay (old frames reference them
+        # by index); the key reset forces a fresh snapshot for new frames
+        self._epoch_key = None
 
     def global_refine(self):
         """Full-map refinement (reference global BA): joint camera+structure
