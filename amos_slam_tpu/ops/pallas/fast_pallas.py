@@ -107,7 +107,8 @@ def _kernel_batched(img_hbm, out_ref, *, tile_h: int, width: int):
     )
 
 
-def _impl_single(img: jax.Array, tile_h: int) -> jax.Array:
+def _impl_single(img: jax.Array, tile_h: int,
+                 interpret: bool = False) -> jax.Array:
     H, W = img.shape
     Hp = -(-H // tile_h) * tile_h
     padded = jnp.pad(img.astype(jnp.float32), ((HALO, Hp - H + HALO), (0, 0)))
@@ -115,15 +116,17 @@ def _impl_single(img: jax.Array, tile_h: int) -> jax.Array:
         functools.partial(_kernel, tile_h=tile_h, width=W),
         out_shape=jax.ShapeDtypeStruct((Hp, W), jnp.float32),
         grid=(Hp // tile_h,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (tile_h, W), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
+        interpret=interpret,
     )(padded)
     return out[:H]
 
 
-def _impl_batched(imgs: jax.Array, tile_h: int) -> jax.Array:
+def _impl_batched(imgs: jax.Array, tile_h: int,
+                  interpret: bool = False) -> jax.Array:
     B, H, W = imgs.shape
     Hp = -(-H // tile_h) * tile_h
     padded = jnp.pad(
@@ -133,32 +136,45 @@ def _impl_batched(imgs: jax.Array, tile_h: int) -> jax.Array:
         functools.partial(_kernel_batched, tile_h=tile_h, width=W),
         out_shape=jax.ShapeDtypeStruct((B, Hp, W), jnp.float32),
         grid=(B, Hp // tile_h),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, tile_h, W), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
+        interpret=interpret,
     )(padded)
     return out[:, :H]
 
 
-@jax.custom_batching.custom_vmap
-def _fmn_default(img: jax.Array) -> jax.Array:
-    return _impl_single(img, 64)
+@functools.lru_cache(maxsize=None)
+def _fmn_fn(tile_h: int):
+    """custom_vmap-wrapped margin+NMS for one tile height.
 
+    Every tile_h gets the explicit batched-grid batching rule -- never
+    pallas_call's automatic vmap, which Mosaic rejects at runtime for the
+    manually-DMA'd ANY-space input. Nested vmap (any number of leading
+    batch axes) collapses to one grid batch dim and reshapes back."""
 
-@_fmn_default.def_vmap
-def _fmn_default_vmap(axis_size, in_batched, img):
-    del axis_size, in_batched
-    return _impl_batched(img, 64), True
+    @jax.custom_batching.custom_vmap
+    def fmn(img):
+        return _impl_single(img, tile_h)
+
+    @fmn.def_vmap
+    def _fmn_vmap(axis_size, in_batched, img):
+        del axis_size
+        assert in_batched[0], "fast_margin_nms: input must carry the vmap axis"
+        lead = img.shape[:-2]
+        flat = img.reshape((-1,) + img.shape[-2:])
+        out = _impl_batched(flat, tile_h)
+        return out.reshape(lead + out.shape[-2:]), True
+
+    return fmn
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h",))
 def fast_margin_nms(img: jax.Array, tile_h: int = 64) -> jax.Array:
     """(H, W) image -> (H, W) NMS'd FAST-9 margin (Pallas TPU kernel).
 
-    H is padded internally to a multiple of tile_h. vmap-safe at the
-    default tile (routes to the explicit batched grid).
+    H is padded internally to a multiple of tile_h. vmap-safe at every
+    tile (routes to the explicit batched grid, nested vmap included).
     """
-    if tile_h == 64:
-        return _fmn_default(img)
-    return _impl_single(img, tile_h)
+    return _fmn_fn(tile_h)(img)
