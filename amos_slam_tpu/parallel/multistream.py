@@ -58,13 +58,22 @@ def empty_views(S: int, V: int) -> LocalView:
 
 
 def init_state(pipeline: ORBPipeline, images, depths) -> StreamState:
-    """Bootstrap all S streams from their first frames."""
+    """Bootstrap all S streams from their first frames.
+
+    Tcw and velocity MUST be DISTINCT device buffers: shard_step donates
+    the state, and donating one buffer referenced by two pytree leaves
+    makes XLA alias a single donated input to two outputs -- a runtime
+    ``INVALID_ARGUMENT: TPU backend error`` on real TPUs (the bug behind
+    four rounds of multistream bench crashes; CPU never catches it because
+    buffer donation is a no-op there)."""
     feats = jax.vmap(lambda im, d: pipeline.extract(im, depth_image=d))(
         images, depths
     )
     S = images.shape[0]
-    eye = jnp.broadcast_to(jnp.eye(4), (S, 4, 4))
-    return StreamState(feats=feats, Tcw=eye, velocity=eye)
+    eye = np.tile(np.eye(4, dtype=np.float32), (S, 1, 1))
+    return StreamState(
+        feats=feats, Tcw=jnp.asarray(eye), velocity=jnp.asarray(eye.copy())
+    )
 
 
 def multistream_step(
