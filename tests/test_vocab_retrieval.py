@@ -96,7 +96,9 @@ def places():
     return out
 
 
-def _recall_at_3(voc, places, pipeline):
+def _recall_at_3(voc, places, pipeline, query_prefix: str = ""):
+    """Top-3 recall over the FULL gallery; queries restricted to places
+    whose name starts with ``query_prefix`` (all by default)."""
     def bow(img):
         f = pipeline.extract(jnp.asarray(img))
         w, wt = transform(voc, f.desc, f.valid)
@@ -104,7 +106,9 @@ def _recall_at_3(voc, places, pipeline):
 
     gallery = [bow(views[0]) for _, views in places]
     hits = total = 0
-    for pi, (_, views) in enumerate(places):
+    for pi, (name, views) in enumerate(places):
+        if not name.startswith(query_prefix):
+            continue
         for q in views[1:]:
             nz, vals = bow(q)
             scores = [l1_score(nz, vals, *g) for g in gallery]
@@ -124,6 +128,41 @@ def test_default_vocab_top3_recall(places):
     recall = _recall_at_3(voc, places, pipeline)
     # also rank-1: the right place should usually win outright
     assert recall >= 0.9, f"default vocab top-3 recall {recall:.2f}"
+
+
+def test_vocab_ood_synthetic_train_real_query(places):
+    """Out-of-distribution recall (round-5, VERDICT item 7): a vocabulary
+    trained ONLY on synthetic textures (seeds disjoint from every gallery
+    scene) must still retrieve the REAL-imagery places from the full
+    mixed gallery. Train and query texture sets share nothing."""
+    pipeline = ORBPipeline(ORBConfig(), CameraConfig())
+    descs = []
+    for seed in (51, 52, 53, 54):
+        planes = synthetic.default_room(seed=seed)
+        g, _ = synthetic.render(planes, np.eye(4))
+        f = pipeline.extract(jnp.asarray(g))
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    voc = train_vocabulary(
+        np.concatenate(descs).astype(np.int8), k=8, depth=3, iters=4
+    )
+    recall = _recall_at_3(voc, places, pipeline, query_prefix="real:")
+    assert recall >= 0.75, f"OOD (synth->real) top-3 recall {recall:.2f}"
+
+
+def test_vocab_ood_real_train_synthetic_query(places):
+    """The reverse direction: vocabulary from the real frames only,
+    queried with the synthetic places (whose textures it never saw)."""
+    pipeline = ORBPipeline(ORBConfig(), CameraConfig())
+    descs = []
+    for name, views in places:
+        if name.startswith("real:"):
+            f = pipeline.extract(jnp.asarray(views[0]))
+            descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    voc = train_vocabulary(
+        np.concatenate(descs).astype(np.int8), k=8, depth=3, iters=4
+    )
+    recall = _recall_at_3(voc, places, pipeline, query_prefix="synth:")
+    assert recall >= 0.75, f"OOD (real->synth) top-3 recall {recall:.2f}"
 
 
 def test_session_vocab_top3_recall(places):
