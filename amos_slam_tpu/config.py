@@ -132,7 +132,15 @@ class DynamicsConfig:
                                       # reference recomputes per frame):
                                       # stride 2 lags NEW-mover suppression
                                       # by one extra frame, which the
-                                      # geometric-ONLY entry suite fails.
+                                      # geometric-ONLY entry suite FAILS
+                                      # (measured round 5, ATE >= 0.15 on
+                                      # test_dynamic_slam_e2e's entering-
+                                      # mover scene). Use stride > 1 only
+                                      # with per-frame stage-1 masks, which
+                                      # cover mover entry that frame -- the
+                                      # flagship bench split; pinned by
+                                      # test_strided_two_stage_on_entering_
+                                      # mover.
                                       # With per-frame stage-1 YOLACT on
                                       # (the production two-stage config)
                                       # the semantic prior covers entry and
