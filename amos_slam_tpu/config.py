@@ -167,6 +167,16 @@ class TrackingConfig:
     th_high: int = 100                 # ORBmatcher TH_HIGH
     check_rotation: bool = True
     max_map_points_local: int = 4096   # static pad for local map view
+    dispatch_window: int = 2           # max unresolved CHUNKS in flight in
+                                       # chunk mode (System._reader.
+                                       # wait_until). Bounds supervision lag
+                                       # to ~2W frames and keeps keyframe
+                                       # maintenance interleaved with
+                                       # tracking scans in the device queue;
+                                       # raising it overlaps more tunnel RTT
+                                       # at the cost of staler keyframe
+                                       # decisions (A/B swept on-chip,
+                                       # round 5)
 
 
 @dataclass(frozen=True)

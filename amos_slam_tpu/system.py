@@ -637,14 +637,15 @@ class System:
         for done in self._reader.drain():
             self._resolve_done(*done)
         self._fetcher.drain()
-        # bounded dispatch window: at most two unresolved chunks ahead, so
-        # keyframe maintenance interleaves with tracking scans in the
-        # device queue instead of serializing after all of them (see
-        # _SupervisionReader.wait_until). Two, not one: the supervision
-        # read lands ~1 tunnel RTT after its chunk's compute finishes, and
-        # a window of one puts that RTT in the per-chunk critical path
-        # (measured: 112 -> 90 FPS when the tunnel RTT spiked to 36 ms).
-        self._reader.wait_until(2)
+        # bounded dispatch window: at most dispatch_window unresolved
+        # chunks ahead, so keyframe maintenance interleaves with tracking
+        # scans in the device queue instead of serializing after all of
+        # them (see _SupervisionReader.wait_until). At least two: the
+        # supervision read lands ~1 tunnel RTT after its chunk's compute
+        # finishes, and a window of one puts that RTT in the per-chunk
+        # critical path (measured: 112 -> 90 FPS when the tunnel RTT
+        # spiked to 36 ms).
+        self._reader.wait_until(self.cfg.tracking.dispatch_window)
         for done in self._reader.drain():
             self._resolve_done(*done)
         self._fetcher.drain()

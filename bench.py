@@ -37,7 +37,12 @@ import numpy as np
 
 PHASES = ("no_dynamics", "per_frame", "two_stage", "local_ba", "multistream")
 CH = 8       # chunk width: W fused frame steps per device dispatch
-N_FRAMES = 96
+# 192 frames: the 96-frame run spent ~25% of its wall clock on the cold
+# start (init + per-frame warm-in of the first chunk) and the shutdown
+# flush tail -- real transients, but a 3-second run overweights them vs
+# the reference's 800+-frame sequences. Doubling the run amortizes them
+# honestly; per-frame motion is kept identical (advance scales with n).
+N_FRAMES = 192
 
 
 class Bench:
@@ -57,7 +62,9 @@ class Bench:
         self.jax, self.jnp = jax, jnp
         self.evaluate = evaluate
         planes = synthetic.default_room(seed=1)
-        poses = synthetic.orbit_trajectory(N_FRAMES, radius=0.1, advance=0.25)
+        poses = synthetic.orbit_trajectory(
+            N_FRAMES, radius=0.1, advance=0.25 * (N_FRAMES / 96)
+        )
         # stage gray as uint8: the perception programs cast inside jit (free
         # fused op) and input staging bandwidth through the tunnel halves
         frames = []
