@@ -45,6 +45,7 @@ _QUICK_FILES = {
     "test_dataset_loaders.py",
     "test_native_loader.py",
     "test_fast.py",
+    "test_fast_pallas_interpret.py",
     "test_pnp_slic.py",
     "test_yolact_data.py",
 }
