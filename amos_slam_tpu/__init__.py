@@ -25,3 +25,23 @@ parallel   Device-mesh helpers and batched multi-stream SLAM.
 """
 
 __version__ = "0.1.0"
+
+# F32 matmul precision: on TPU, jax's DEFAULT matmul precision truncates
+# f32 operands to bfloat16 on the MXU. For a SLAM system that is a
+# correctness bug, not a tuning knob: pose composition (velocity @ Tcw),
+# point transforms, and the pose-derived epipolar geometry F = K^-T E K^-1
+# all run through small f32 matmuls, and bf16's 8 mantissa bits put
+# pixel-level error into epipolar distances whose decision thresholds are
+# 0.5-1 px (measured round 5: the two-stage tracker diverged to meter-ATE
+# on the real-texture room on TPU while the bit-identical CPU run held
+# 5 mm -- the feedback loop pose -> F -> suppression -> features -> pose
+# amplifies the truncation). Ops that WANT reduced precision opt in
+# explicitly (bf16 casts in the LK sampler, the YOLACT bf16 graph, int8
+# Hamming); everything else gets exact f32.
+# Override with JAX_DEFAULT_MATMUL_PRECISION before import if needed.
+import os as _os
+
+if "JAX_DEFAULT_MATMUL_PRECISION" not in _os.environ:
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", "highest")

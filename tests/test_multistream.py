@@ -133,3 +133,26 @@ def test_multistream_live_maps():
         for s in range(S)
     ]
     assert float(np.median(ates)) < 0.04, ates
+
+
+def test_init_state_buffers_are_distinct():
+    """Donation-aliasing regression (round 5): shard_step donates the
+    stream state, and donating ONE buffer referenced by TWO pytree leaves
+    makes XLA alias a single donated input to two outputs -- a runtime
+    'INVALID_ARGUMENT: TPU backend error' on real TPUs (invisible on CPU,
+    where donation is a no-op). init_state must therefore materialize
+    Tcw and velocity as separate device buffers."""
+    pipeline = tiny_setup()
+    planes = synthetic.default_room(seed=5)
+    g, d = render_tiny(planes, np.eye(4))
+    S = 2
+    state = ms.init_state(
+        pipeline,
+        jnp.stack([jnp.asarray(g, jnp.float32)] * S),
+        jnp.stack([jnp.asarray(d, jnp.float32)] * S),
+    )
+    assert state.Tcw is not state.velocity
+    assert (
+        state.Tcw.unsafe_buffer_pointer()
+        != state.velocity.unsafe_buffer_pointer()
+    )
