@@ -131,9 +131,14 @@ def shard_step(pipeline: ORBPipeline, mesh: Mesh, axis: str = "stream",
         out_specs=(b, b, b),
         check_vma=False,
     )
-    # per-stream state stays resident on its shard across steps (donated),
-    # so steady-state needs no host round-trips
-    return jax.jit(mapped, donate_argnums=(0,))
+    # NOT donated: keyframe supervision resolves 1-2 steps late (the
+    # pipelined reader below), so the host still holds references into
+    # step t's state when step t+1 dispatches -- donating would invalidate
+    # them. The state is a few MB for 8 streams; the double-buffering cost
+    # is noise next to the ~30 ms/step tunnel RTT that pipelining hides.
+    # (Donation here also carried a real hazard: see init_state's
+    # buffer-aliasing note, the round-4 crash.)
+    return jax.jit(mapped)
 
 
 class MultiStreamSLAM:
@@ -141,19 +146,24 @@ class MultiStreamSLAM:
 
     The device half is ONE sharded program per step (all S fused frame
     steps batched over the mesh's stream axis). The host half mirrors
-    System's keyframe supervision per stream: keyframe decisions come from
-    the (S, 3) count rows (one small read per step), and for the streams
-    that trigger insertion the (3N,) payload row is fetched, the stream's
+    System's keyframe supervision per stream -- PIPELINED one step behind
+    exactly like System's _SupervisionReader: the (S, 3) count rows are
+    materialized on a side thread (the blocking device->host read releases
+    the GIL, hiding the ~30 ms tunnel RTT behind the next step's
+    dispatch), and keyframe decisions resolve when the read lands, 1-2
+    steps late. For streams that trigger insertion, the (3N,) payload row
+    of THAT step's (retained, undonated) state is fetched, the stream's
     own SlamMap inserts the keyframe (landmark creation from close depth,
     covisibility, spanning tree -- slam_map.insert_keyframe), new points
     triangulate, local BA runs, and the stream's LocalView refreshes --
     the reference's LocalMapping cycle (src/LocalMapping.cc:73-175) per
-    stream. Streams therefore track against growing maps: 8-stream SLAM,
-    not 8-stream odometry.
+    stream, with the same consumer-thread latency. Streams therefore
+    track against growing maps: 8-stream SLAM, not 8-stream odometry.
     """
 
     def __init__(self, cfg, S: int, mesh: Mesh = None, run_ba: bool = True):
         from ..slam_map.slam_map import SlamMap
+        from ..system import _SupervisionReader
 
         self.cfg = cfg
         self.S = S
@@ -176,6 +186,9 @@ class MultiStreamSLAM:
         self._step = shard_step(
             self.pipeline, self.mesh, min_lm=tc.min_inliers_local_map
         )
+        # pipelined supervision (System's reader pattern, stream-batched)
+        self._reader = _SupervisionReader()
+        self.last_sup = np.zeros((S, 3), np.int64)
 
     # -- lifecycle -----------------------------------------------------
     def initialize(self, images, depths):
@@ -211,7 +224,9 @@ class MultiStreamSLAM:
     # -- per-frame step ------------------------------------------------
     def step(self, images, depths):
         """Track one frame on every stream; returns ((S, 4, 4) poses,
-        (S, 3) count rows)."""
+        (S, 3) count rows of the most recently RESOLVED step -- keyframe
+        supervision is pipelined 1-2 steps behind dispatch, see class
+        docstring)."""
         self.frame += 1
         st, sup, heavy = self._step(
             self.state,
@@ -220,12 +235,27 @@ class MultiStreamSLAM:
             self.views, self._r_mm, self._r_map,
         )
         self.state = st
-        sup_np = np.asarray(sup)
+        # resolve whatever supervision reads have landed; keep dispatch
+        # running at most 2 steps ahead so maintenance interleaves
+        self._reader.submit((sup, (st, heavy, self.frame)))
+        self._reader.wait_until(2)
+        for done in self._reader.drain():
+            self._resolve_step(*done)
+        return self.state.Tcw, self.last_sup
+
+    def flush(self):
+        """Resolve every in-flight supervision read (call before reading
+        maps/trajectories at end of run)."""
+        for done in self._reader.flush():
+            self._resolve_step(*done)
+
+    def _resolve_step(self, st, heavy, frame, sup_np):
+        self.last_sup = sup_np
         tc = self.cfg.tracking
         need = []
         for s in range(self.S):
             n_mm, n_lm, n_close = (int(v) for v in sup_np[s])
-            gap = self.frame - self.last_kf_frame[s]
+            gap = frame - self.last_kf_frame[s]
             if n_lm >= tc.min_inliers_local_map:
                 if (
                     gap >= 30
@@ -237,15 +267,14 @@ class MultiStreamSLAM:
             elif n_mm >= 10 and gap >= 3 and n_close >= 100:
                 need.append((s, max(n_mm, 1), False))
         if need:
-            self._insert_keyframes(need, heavy)
-        return self.state.Tcw, sup_np
+            self._insert_keyframes(need, heavy, st, frame)
 
-    def _insert_keyframes(self, need, heavy):
+    def _insert_keyframes(self, need, heavy, st, frame):
         N = self.cfg.orb.max_kpts
         rows = jax.device_get([heavy[s] for (s, _, _) in need])
         for (s, inl, matched), hv in zip(need, rows):
             hv = np.asarray(hv)
-            feats_s = jax.tree.map(lambda x: x[s], self.state.feats)
+            feats_s = jax.tree.map(lambda x: x[s], st.feats)
             kp = hv[:N].astype(np.int64) if matched else np.full(
                 N, -1, np.int64
             )
@@ -263,10 +292,10 @@ class MultiStreamSLAM:
                             if lut[self.ref_kf[s]] >= 0 else m.n_kfs - 1
                         )
             self.ref_kf[s] = m.insert_keyframe(
-                feats_s, self.state.Tcw[s], kp, self.frame,
+                feats_s, st.Tcw[s], kp, frame,
                 valid_close=(valid, close),
             )
-            self.last_kf_frame[s] = self.frame
+            self.last_kf_frame[s] = frame
             self.last_kf_inliers[s] = inl
             # keyframe-rate maintenance for this stream: triangulate new
             # landmarks with covisible neighbours, then local BA

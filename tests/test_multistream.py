@@ -113,6 +113,7 @@ def test_multistream_live_maps():
         g, d = batch(k)
         T, sup = slam.step(g, d)
         est.append(np.asarray(T))
+    slam.flush()   # supervision is pipelined 1-2 steps behind dispatch
 
     # every stream's map grew beyond the bootstrap keyframe
     kfs = [m.n_kfs for m in slam.maps]
@@ -136,12 +137,13 @@ def test_multistream_live_maps():
 
 
 def test_init_state_buffers_are_distinct():
-    """Donation-aliasing regression (round 5): shard_step donates the
-    stream state, and donating ONE buffer referenced by TWO pytree leaves
-    makes XLA alias a single donated input to two outputs -- a runtime
-    'INVALID_ARGUMENT: TPU backend error' on real TPUs (invisible on CPU,
-    where donation is a no-op). init_state must therefore materialize
-    Tcw and velocity as separate device buffers."""
+    """Donation-aliasing regression (round 5): donating ONE buffer
+    referenced by TWO pytree leaves makes XLA alias a single donated input
+    to two outputs -- a runtime 'INVALID_ARGUMENT: TPU backend error' on
+    real TPUs (invisible on CPU, where donation is a no-op; this crashed
+    the multistream bench for four rounds while shard_step still donated).
+    init_state must materialize Tcw and velocity as separate buffers so
+    any donating caller stays safe."""
     pipeline = tiny_setup()
     planes = synthetic.default_room(seed=5)
     g, d = render_tiny(planes, np.eye(4))
