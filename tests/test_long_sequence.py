@@ -112,11 +112,12 @@ def test_back_to_back_inserts_at_capacity_grow():
     feats = slam.last_feats
     none = np.full(cfg.orb.max_kpts, -1, np.int64)
     # fill to the brink, then three more: every insert must succeed
-    K0 = m.K
-    frame = 1000
-    while m.n_kfs < m.K - 1 + 3:
-        import jax.numpy as jnp
+    import jax.numpy as jnp
 
+    K0 = m.K
+    target = K0 - 1 + 3   # fixed target: 3 inserts past the original cap
+    frame = 1000
+    while m.n_kfs < target:
         m.insert_keyframe(feats, jnp.eye(4), none, frame)
         frame += 1
     assert m.K > K0, "capacity must have grown"
